@@ -1,0 +1,161 @@
+"""Closed-form Gaussian KL divergence on batched 3x3 covariances.
+
+TPU-native replacement for the reference's per-pair GSL LU decomposition
+(`core_legacy/src/kullback_leibler.c:28-127`): determinants and inverses of
+3x3 matrices are analytic (rule of Sarrus / adjugate), so the whole
+neighbor-KL pass is one fused batched elementwise computation — no
+factorizations, no insertion sort (ordering is done globally by the pruner).
+
+The divergence formula replicates the reference *exactly*, including its
+non-standard determinant-ratio sign (kullback_leibler.c:115 computes
+``− log(det q / det p)`` = ``+ log(det p / det q)``; the Python twin
+`ndnet/preprocessing/core/kullback_leibler.py:55-62` agrees):
+
+    KL(p, q) = 0.5 * (Δμᵀ Σq⁻¹ Δμ + tr(Σq⁻¹ Σp) + ln(det Σp / det Σq) − 3)
+
+Validity masking mirrors kullback_leibler.c:42-78: pairs where either
+distribution has ≤ 1 sample or a singular covariance are skipped.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ndtpu.core import voxel as vx
+
+
+def det3(m):
+    """Analytic determinant of [..., 3, 3]."""
+    return (
+        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+    )
+
+
+def adjugate3(m):
+    """Analytic adjugate of [..., 3, 3]; inverse = adj / det."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    cof = jnp.stack(
+        [
+            jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], axis=-1),
+            jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], axis=-1),
+            jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return cof
+
+
+def gaussian_kl(mu_p, cov_p, mu_q, cov_q):
+    """Reference-formula KL for batched Gaussians.
+
+    Returns (kl [...], defined [...]) where `defined` is False when either
+    covariance is singular (reference's -2 return, kullback_leibler.c:66-78).
+    Sample-count gating is the caller's job.
+    """
+    det_p = det3(cov_p)
+    det_q = det3(cov_q)
+    defined = (det_p != 0.0) & (det_q != 0.0)
+    safe_det_q = jnp.where(det_q != 0.0, det_q, 1.0)
+
+    q_inv = adjugate3(cov_q) / safe_det_q[..., None, None]
+    diff = mu_q - mu_p  # [..., 3]
+    quad = jnp.einsum("...i,...ij,...j->...", diff, q_inv, diff)
+    trace = jnp.einsum("...ij,...ji->...", q_inv, cov_p)
+    ratio = det_p / safe_det_q
+    log_ratio = jnp.log(jnp.where(ratio > 0, ratio, 1.0))
+    defined &= ratio > 0
+    kl = 0.5 * (quad + trace + log_ratio - 3.0)
+    defined &= jnp.isfinite(kl)
+    return jnp.where(defined, kl, jnp.inf), defined
+
+
+def lex_less(a, b):
+    """Lexicographic a < b for int keys [..., 3] (ordered most→least
+    significant)."""
+    return (
+        (a[..., 0] < b[..., 0])
+        | ((a[..., 0] == b[..., 0]) & (a[..., 1] < b[..., 1]))
+        | (
+            (a[..., 0] == b[..., 0])
+            & (a[..., 1] == b[..., 1])
+            & (a[..., 2] < b[..., 2])
+        )
+    )
+
+
+def lex_search(sorted_keys, queries):
+    """Vectorized lexicographic binary search.
+
+    sorted_keys: [K, 3] int32, lexicographically ascending (pad rows must be
+    INT32_MAX so they sort last). queries: [M, 3]. Returns (idx [M] int32,
+    found [M] bool): position of each query among the keys, valid iff an
+    exact match exists. Replaces the reference's dense-grid neighbor
+    indexing (voxel.c:116-175) for our sparse occupied-voxel table —
+    overflow-free for arbitrarily large grids.
+    """
+    k = sorted_keys.shape[0]
+    m = queries.shape[0]
+    lo = jnp.zeros((m,), jnp.int32)
+    hi = jnp.full((m,), k, jnp.int32)
+    steps = max(1, math.ceil(math.log2(max(k, 2))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        kmid = sorted_keys[jnp.clip(mid, 0, k - 1)]
+        less = lex_less(kmid, queries)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    idx = jnp.clip(lo, 0, k - 1)
+    found = (lo < k) & jnp.all(sorted_keys[idx] == queries, axis=-1)
+    return idx, found
+
+
+def neighbor_min_kl(means, covs, counts, zyx, lens):
+    """Per-segment minimum KL to its 6-connected occupied neighbors.
+
+    Replaces `calculate_kl_divergences` (kullback_leibler.c:129-202) plus the
+    global ordering consumed by the pruner: the sequential
+    remove-lowest-then-skip loop (ndt.c:28-73 / core/ndt.py:37-75) removes
+    exactly the first `to_remove` *distinct* p's in ascending divergence
+    order, and a p's first appearance is its minimum divergence — so ranking
+    segments by min KL reproduces the prune semantics with no serial loop.
+
+    Args:
+      means [K, 3], covs [K, 3, 3], counts [K] int32.
+      zyx   [K, 3] int32 voxel coords as (z, y, x), lexicographically sorted,
+            INT32_MAX padding.
+      lens  [3] int32 grid dims (x, y, z).
+
+    Returns min_kl [K] f32 (inf where the segment has no valid pair).
+    """
+    k = means.shape[0]
+    # neighbor voxel coords for each segment, in (z, y, x) key order
+    xyz = zyx[:, ::-1]
+    npos = xyz[:, None, :] + vx.NEIGHBOR_OFFSETS[None, :, :]  # [K, 6, 3]
+    in_grid = jnp.all((npos >= 0) & (npos < lens), axis=-1)  # [K, 6]
+    nzyx = npos[..., ::-1].reshape(k * 6, 3)
+
+    nidx, found = lex_search(zyx, nzyx)
+    nidx = nidx.reshape(k, 6)
+    found = found.reshape(k, 6) & in_grid
+
+    mu_q = means[nidx]  # [K, 6, 3]
+    cov_q = covs[nidx]
+    cnt_q = counts[nidx]
+
+    kl, defined = gaussian_kl(
+        means[:, None, :], covs[:, None, :, :], mu_q, cov_q
+    )
+    # sample gating: both sides need > 1 sample (kullback_leibler.c:42-45)
+    pair_ok = (
+        found
+        & defined
+        & (counts[:, None] > 1)
+        & (cnt_q > 1)
+    )
+    kl = jnp.where(pair_ok, kl, jnp.inf)
+    return jnp.min(kl, axis=1)

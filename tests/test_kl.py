@@ -1,0 +1,116 @@
+"""KL divergence vs. a float64 NumPy oracle implementing the reference
+formula (kullback_leibler.c:115 / core/kullback_leibler.py:55-62), including
+its +ln(det p / det q) sign quirk."""
+import jax.numpy as jnp
+import numpy as np
+
+from ndtpu.core.kl import det3, adjugate3, gaussian_kl, lex_search, neighbor_min_kl
+
+
+def reference_kl(mu_p, cov_p, mu_q, cov_q):
+    diff = mu_q - mu_p
+    q_inv = np.linalg.inv(cov_q)
+    a = diff @ q_inv @ diff
+    b = np.trace(q_inv @ cov_p)
+    c = np.log(np.linalg.det(cov_p) / np.linalg.det(cov_q))
+    return 0.5 * (a + b + c - 3.0)
+
+
+def random_spd(rng):
+    a = rng.normal(size=(3, 3))
+    return a @ a.T + 0.5 * np.eye(3)
+
+
+def test_det_and_adjugate():
+    rng = np.random.default_rng(0)
+    ms = rng.normal(size=(32, 3, 3))
+    d = np.asarray(det3(jnp.asarray(ms, jnp.float32)))
+    np.testing.assert_allclose(d, np.linalg.det(ms), rtol=1e-4, atol=1e-5)
+    inv = np.asarray(adjugate3(jnp.asarray(ms, jnp.float32))) / d[:, None, None]
+    np.testing.assert_allclose(inv, np.linalg.inv(ms), rtol=1e-3, atol=1e-3)
+
+
+def test_gaussian_kl_matches_reference_formula():
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        mu_p, mu_q = rng.normal(size=3), rng.normal(size=3)
+        cov_p, cov_q = random_spd(rng), random_spd(rng)
+        kl, ok = gaussian_kl(
+            jnp.asarray(mu_p, jnp.float32), jnp.asarray(cov_p, jnp.float32),
+            jnp.asarray(mu_q, jnp.float32), jnp.asarray(cov_q, jnp.float32),
+        )
+        assert bool(ok)
+        np.testing.assert_allclose(
+            float(kl), reference_kl(mu_p, cov_p, mu_q, cov_q), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_identical_distributions_zero():
+    mu = jnp.array([1.0, 2.0, 3.0])
+    cov = jnp.asarray(random_spd(np.random.default_rng(2)), jnp.float32)
+    kl, ok = gaussian_kl(mu, cov, mu, cov)
+    assert bool(ok)
+    assert abs(float(kl)) < 1e-4
+
+
+def test_singular_masked():
+    mu = jnp.zeros(3)
+    sing = jnp.zeros((3, 3))
+    good = jnp.eye(3)
+    kl, ok = gaussian_kl(mu, sing, mu, good)
+    assert not bool(ok) and np.isinf(float(kl))
+    kl, ok = gaussian_kl(mu, good, mu, sing)
+    assert not bool(ok)
+
+
+def test_lex_search():
+    keys = jnp.array(
+        [[0, 0, 1], [0, 2, 0], [1, 0, 0], [1, 0, 5], [2, 1, 1]], jnp.int32
+    )
+    queries = jnp.array(
+        [[0, 0, 1], [1, 0, 5], [2, 1, 1], [0, 0, 0], [3, 0, 0], [1, 0, 1]],
+        jnp.int32,
+    )
+    idx, found = lex_search(keys, queries)
+    idx, found = np.asarray(idx), np.asarray(found)
+    assert found[0] and idx[0] == 0
+    assert found[1] and idx[1] == 3
+    assert found[2] and idx[2] == 4
+    assert not found[3] and not found[4] and not found[5]
+
+
+def test_neighbor_min_kl_two_voxels():
+    """Two adjacent occupied voxels: each side's min KL is the pair KL."""
+    rng = np.random.default_rng(3)
+    cov_a, cov_b = random_spd(rng) * 0.01, random_spd(rng) * 0.01
+    mu_a, mu_b = np.array([0.5, 0.5, 0.5]), np.array([1.5, 0.5, 0.5])
+    k = 4
+    means = jnp.zeros((k, 3), jnp.float32).at[0].set(jnp.asarray(mu_a, jnp.float32)).at[1].set(jnp.asarray(mu_b, jnp.float32))
+    covs = jnp.zeros((k, 3, 3), jnp.float32).at[0].set(jnp.asarray(cov_a, jnp.float32)).at[1].set(jnp.asarray(cov_b, jnp.float32))
+    counts = jnp.array([10, 10, 0, 0], jnp.int32)
+    big = jnp.iinfo(jnp.int32).max
+    # voxels (x,y,z)=(0,0,0) and (1,0,0) -> zyx keys (0,0,0),(0,0,1)
+    zyx = jnp.array([[0, 0, 0], [0, 0, 1], [big, big, big], [big, big, big]], jnp.int32)
+    lens = jnp.array([2, 1, 1], jnp.int32)
+
+    min_kl = np.asarray(neighbor_min_kl(means, covs, counts, zyx, lens))
+    np.testing.assert_allclose(
+        min_kl[0], reference_kl(mu_a, cov_a, mu_b, cov_b), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        min_kl[1], reference_kl(mu_b, cov_b, mu_a, cov_a), rtol=1e-3, atol=1e-4
+    )
+    assert np.isinf(min_kl[2]) and np.isinf(min_kl[3])
+
+
+def test_neighbor_min_kl_sample_gating():
+    """Pairs with <=1 sample on either side are skipped
+    (kullback_leibler.c:42-45)."""
+    k = 2
+    means = jnp.array([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5]], jnp.float32)
+    covs = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32) * 0.01, (k, 3, 3))
+    counts = jnp.array([10, 1], jnp.int32)
+    zyx = jnp.array([[0, 0, 0], [0, 0, 1]], jnp.int32)
+    lens = jnp.array([2, 1, 1], jnp.int32)
+    min_kl = np.asarray(neighbor_min_kl(means, covs, counts, zyx, lens))
+    assert np.isinf(min_kl).all()
