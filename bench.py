@@ -1,0 +1,144 @@
+"""Benchmark: NDT preprocess + forward throughput (clouds/sec/chip).
+
+Workload = the reference's canonical training shape (README.md:36 /
+tools/train.py:100-111): clouds of n_samples=70000 points downsampled to
+n_desired_nds=1000 NDs, then NDTNetSegmentation forward, batch 16 — the
+exact per-batch work of the reference hot loop (train.py:44-92) minus the
+host round-trips it needed.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is the TPU-vs-host-CPU throughput ratio of this same fused
+pipeline (the reference's own C core is unbuildable here — no GSL — and it
+published no numbers; BASELINE.md documents this).
+
+Extra diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_batch(batch, n_points, seed=0):
+    rng = np.random.default_rng(seed)
+    clouds = []
+    for b in range(batch):
+        centers = rng.uniform(-20, 20, size=(600, 3))
+        per = n_points // 600 + 1
+        pts = (
+            (centers[:, None, :] + rng.normal(scale=0.4, size=(600, per, 3)))
+            .reshape(-1, 3)[:n_points]
+            .astype(np.float32)
+        )
+        clouds.append(pts)
+    return np.stack(clouds)
+
+
+def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas):
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpu.models import NDTNetSegmentation
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+    model = NDTNetSegmentation(num_classes=n_classes, feature_dim=feature_dim)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((batch, n_desired, 3)),
+        jnp.zeros((batch, n_desired, 9)),
+        train=False,
+    )
+
+    @jax.jit
+    def pipeline(variables, points):
+        pcl, covs, _, mask, _ = ndt_preprocessing_with_state(
+            n_desired, points, None, n_classes, use_pallas
+        )
+        return model.apply(
+            variables, pcl, covs, train=False, return_logits=True
+        )
+
+    return pipeline, variables
+
+
+def timed_throughput(fn, variables, batch_arr, iters, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        fn(variables, batch_arr).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fn(variables, batch_arr).block_until_ready()
+    dt = time.perf_counter() - t0
+    return (iters * batch_arr.shape[0]) / dt, dt / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_desired_nds", type=int, default=1000)  # README.md:36
+    p.add_argument("--n_samples", type=int, default=70000)     # train.py:101
+    p.add_argument("--batch_size", type=int, default=16)       # train.py:108
+    p.add_argument("--n_classes", type=int, default=28)
+    p.add_argument("--feature_dim", type=int, default=768)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--cpu_iters", type=int, default=1)
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--skip_cpu_baseline", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    batch = make_batch(args.batch_size, args.n_samples)
+
+    import jax.numpy as jnp
+
+    pipeline, variables = build_pipeline(
+        args.n_desired_nds, args.n_classes, args.feature_dim,
+        args.batch_size, args.use_pallas,
+    )
+    batch_dev = jnp.asarray(batch)
+    tput, per_step = timed_throughput(
+        pipeline, variables, batch_dev, args.iters
+    )
+    print(
+        f"[bench] device throughput: {tput:.2f} clouds/s "
+        f"({per_step*1000:.1f} ms / batch of {args.batch_size})",
+        file=sys.stderr,
+    )
+
+    vs_baseline = float("nan")
+    if not args.skip_cpu_baseline:
+        try:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                pipe_cpu, vars_cpu = build_pipeline(
+                    args.n_desired_nds, args.n_classes, args.feature_dim,
+                    args.batch_size, False,
+                )
+                batch_cpu = jax.device_put(jnp.asarray(batch), cpu)
+                cpu_tput, _ = timed_throughput(
+                    pipe_cpu, vars_cpu, batch_cpu, args.cpu_iters, warmup=1
+                )
+            print(f"[bench] host-CPU baseline: {cpu_tput:.2f} clouds/s",
+                  file=sys.stderr)
+            vs_baseline = tput / cpu_tput
+        except Exception as e:
+            print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "ndt_preprocess_forward_throughput",
+        "value": round(tput, 3),
+        "unit": "clouds/s/chip",
+        "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

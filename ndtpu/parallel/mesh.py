@@ -1,0 +1,57 @@
+"""Mesh construction and sharding helpers.
+
+Replaces the reference's nonexistent distributed backend (no NCCL/MPI/any —
+SURVEY.md §2.3) with the TPU-native recipe: `jax.distributed.initialize`
+per host, one Mesh over all chips, NamedSharding annotations, XLA
+collectives over ICI/DCN. No user-visible backend code.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host init; a no-op for single-process runs."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_mesh(axes: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None,
+              devices=None) -> Mesh:
+    """Mesh over all (or given) devices. Default: 1-D data mesh."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (devices.size,) + (1,) * (len(axes) - 1)
+    return Mesh(devices.reshape(tuple(shape)), tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """device_put a pytree of host arrays with dim 0 sharded over `axis`."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,68 @@
+"""One dataclass config with the reference's flag names and defaults
+(tools/train.py:99-112, train_pointnet.py:16-27, train_multiscale.py:17-29),
+plus TPU-specific knobs the reference lacks (mesh, dtype, resume)."""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # reference flags (tools/train.py:99-112)
+    task: str = "segmentation"
+    n_desired_nds: int = 2080
+    n_samples: int = 70000
+    train_path: Optional[str] = None
+    val_path: Optional[str] = None
+    test_path: Optional[str] = None
+    out_path: str = "out"
+    epochs: int = 200
+    save_every: int = 2
+    batch_size: int = 16
+    learning_rate: float = 0.034
+    n_classes: int = 28
+    feature_dim: int = 768
+
+    # multiscale flags (tools/train_multiscale.py:17-29)
+    n_desired_nds1: int = 4080
+
+    # LR schedule: the *intended* semantics of train.py:53-57
+    # (halve every 20 epochs; the reference's `epoch+1 % 20` precedence bug
+    # is documented in SURVEY.md §2.4 and not replicated)
+    lr_decay_epochs: int = 20
+    lr_decay_rate: float = 0.5
+
+    # TPU-native additions
+    resume: Optional[str] = None          # checkpoint dir to resume from
+    wandb: bool = False                   # optional, host-0 only
+    wandb_project: str = "ndnet"
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    data_axis: str = "data"
+    seed: int = 0
+    steps_per_epoch: Optional[int] = None  # derived from dataset when None
+
+    @classmethod
+    def from_args(cls, argv=None, **overrides):
+        """argparse overlay with the reference's flag names."""
+        import argparse
+
+        parser = argparse.ArgumentParser()
+        for f in dataclasses.fields(cls):
+            if f.name in overrides:
+                continue
+            t = f.type if isinstance(f.type, str) else getattr(f.type, "__name__", "str")
+            if "int" in t:
+                parser.add_argument(f"--{f.name}", type=int, default=f.default)
+            elif "float" in t:
+                parser.add_argument(f"--{f.name}", type=float, default=f.default)
+            elif "bool" in t:
+                parser.add_argument(
+                    f"--{f.name}", action="store_true", default=f.default
+                )
+            else:
+                parser.add_argument(f"--{f.name}", type=str, default=f.default)
+        ns = parser.parse_args(argv)
+        kwargs = {**vars(ns), **overrides}
+        return cls(**kwargs)

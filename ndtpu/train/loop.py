@@ -1,0 +1,184 @@
+"""Jitted train/eval steps.
+
+The reference's per-batch loop (tools/train.py:16-92) does host-side NDT
+preprocessing (:67), forward, CE loss (:72), Adam step, and argmax accuracy
+(:84-87). Here each step is a single jitted function containing the on-device
+NDT preprocessing + model + loss + grads + Adam update; under a Mesh, the
+batch axis is sharded and XLA inserts the gradient/BatchNorm collectives
+(pure data parallelism — SURVEY.md §2.3).
+
+Loss: softmax cross-entropy from *logits*. The reference feeds probabilities
+(already softmax-ed model output) into torch cross_entropy — a documented
+bug (SURVEY.md §2.4); the intent, standard CE, is what trains here.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+
+def make_lr_schedule(base_lr: float, steps_per_epoch: int,
+                     decay_epochs: int = 20, decay_rate: float = 0.5):
+    """Staircase halving every `decay_epochs` epochs — the intended
+    semantics of train.py:53-57 (its `epoch+1 % 20` precedence bug is not
+    replicated)."""
+    return optax.exponential_decay(
+        init_value=base_lr,
+        transition_steps=max(1, decay_epochs * steps_per_epoch),
+        decay_rate=decay_rate,
+        staircase=True,
+    )
+
+
+def cross_entropy_loss(logits, onehot, mask=None):
+    """Mean softmax CE over (optionally masked) rows."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(onehot * logp, axis=-1)
+    if mask is None:
+        return jnp.mean(ce)
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, ce, 0.0)) / denom
+
+
+def accuracy(logits_or_probs, onehot, mask=None):
+    """argmax match fraction (train.py:84-87)."""
+    pred = jnp.argmax(logits_or_probs, axis=-1)
+    gt = jnp.argmax(onehot, axis=-1)
+    hit = (pred == gt).astype(jnp.float32)
+    if mask is None:
+        return jnp.mean(hit)
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.where(mask, hit, 0.0)) / denom
+
+
+def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
+                      use_pallas: bool = False):
+    """Train step for NDTNetSegmentation: on-device NDT preprocessing fused
+    into the step (deletes the host loop of ndtnet_preprocessing.py:27-63).
+
+    batch = (points [B, N, 3], gt_onehot [B, N, C+1]).
+    """
+
+    @jax.jit
+    def step(state, points, gt_onehot):
+        pcl, covs, gt, mask, _ = ndt_preprocessing_with_state(
+            n_desired_nds, points, gt_onehot, n_classes, use_pallas
+        )
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                pcl, covs, train=True, return_logits=True,
+                mutable=["batch_stats"],
+            )
+            loss = cross_entropy_loss(logits, gt, mask)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        acc = accuracy(logits, gt, mask)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    @jax.jit
+    def eval_step(state, points, gt_onehot):
+        pcl, covs, gt, mask, _ = ndt_preprocessing_with_state(
+            n_desired_nds, points, gt_onehot, n_classes, use_pallas
+        )
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pcl, covs, train=False, return_logits=True,
+        )
+        return {
+            "loss": cross_entropy_loss(logits, gt, mask),
+            "accuracy": accuracy(logits, gt, mask),
+        }
+
+    return step, eval_step
+
+
+def make_pointnet_seg_step():
+    """Train step for PointNetSegmentation (train_pointnet.py:82-182):
+    batch = (points [B, N, 3], gt_onehot [B, N, C+1]), no NDT anywhere."""
+
+    @jax.jit
+    def step(state, points, gt_onehot):
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                points, train=True, return_logits=True,
+                mutable=["batch_stats"],
+            )
+            loss = cross_entropy_loss(logits, gt_onehot)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        acc = accuracy(logits, gt_onehot)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    @jax.jit
+    def eval_step(state, points, gt_onehot):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points, train=False, return_logits=True,
+        )
+        return {
+            "loss": cross_entropy_loss(logits, gt_onehot),
+            "accuracy": accuracy(logits, gt_onehot),
+        }
+
+    return step, eval_step
+
+
+def make_classification_step(n_desired_nds: int, n_classes: int,
+                             use_pallas: bool = False):
+    """Train step for NDTNetClassification: batch = (points [B, N, 3],
+    label_onehot [B, num_classes])."""
+
+    @jax.jit
+    def step(state, points, label_onehot):
+        pcl, covs, _, mask, _ = ndt_preprocessing_with_state(
+            n_desired_nds, points, None, n_classes, use_pallas
+        )
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                pcl, covs, train=True, return_logits=True,
+                mutable=["batch_stats"],
+            )
+            loss = cross_entropy_loss(logits, label_onehot)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        acc = accuracy(logits, label_onehot)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    @jax.jit
+    def eval_step(state, points, label_onehot):
+        pcl, covs, _, mask, _ = ndt_preprocessing_with_state(
+            n_desired_nds, points, None, n_classes, use_pallas
+        )
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pcl, covs, train=False, return_logits=True,
+        )
+        return {
+            "loss": cross_entropy_loss(logits, label_onehot),
+            "accuracy": accuracy(logits, label_onehot),
+        }
+
+    return step, eval_step

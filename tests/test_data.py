@@ -1,0 +1,108 @@
+"""Data pipeline tests: PLY round-trip (python + native readers), datasets,
+FPS, loader prefetch."""
+import os
+
+import numpy as np
+import pytest
+
+from ndtpu.data.carla import CarlaSeg, CarlaNDTSeg, class_to_color, color_to_class
+from ndtpu.data.loader import batch_iterator, prefetch_to_device
+from ndtpu.data.ply import count_ply_points, read_ply, write_ply
+from ndtpu.data.synthetic import SyntheticSeg, clustered_cloud, random_cloud
+
+
+def make_ply_dir(tmp_path, n_files=3, n_points=200, n_classes=5):
+    rng = np.random.default_rng(0)
+    d = tmp_path / "plys"
+    d.mkdir()
+    for i in range(n_files):
+        pts = rng.normal(size=(n_points, 3)) * 5
+        classes = rng.integers(0, n_classes + 1, n_points)
+        write_ply(str(d / f"{i:03d}.ply"), pts, classes=classes)
+    return str(d)
+
+
+def test_ply_roundtrip_python_reader(tmp_path):
+    pts = np.array([[1.25, -2.5, 3.0], [0.0, 0.125, -9.75]])
+    classes = np.array([3, 0], np.uint16)
+    path = write_ply(str(tmp_path / "a.ply"), pts, classes=classes)
+    rpts, rcls = read_ply(path, use_native=False)
+    np.testing.assert_allclose(rpts, pts)
+    np.testing.assert_array_equal(rcls, classes)
+    assert count_ply_points(path) == 2
+
+
+def test_ply_native_reader_matches(tmp_path):
+    from ndtpu.native.io import build_native, native_read_ply
+
+    if not build_native():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(5000, 3)) * 100
+    classes = rng.integers(0, 28, 5000).astype(np.uint16)
+    path = write_ply(str(tmp_path / "big.ply"), pts, classes=classes)
+    out = native_read_ply(path)
+    assert out is not None
+    npts, ncls = out
+    np.testing.assert_allclose(npts, np.round(pts, 8), rtol=1e-6)
+    np.testing.assert_array_equal(ncls, classes)
+
+
+def test_color_class_packing():
+    tag = color_to_class(np.array([1.0, 0.5, 0.0]))
+    back = class_to_color(tag)
+    np.testing.assert_allclose(back, [1.0, 127 / 255.0, 0.0], atol=1e-6)
+
+
+def test_carla_seg_dataset(tmp_path):
+    path = make_ply_dir(tmp_path, n_points=200)
+    ds = CarlaSeg(n_classes=5, n_samples=64, path=path)
+    assert len(ds) == 3
+    pts, gt = ds[0]
+    assert pts.shape == (64, 3) and pts.dtype == np.float32
+    assert gt.shape == (64, 6)
+    np.testing.assert_allclose(gt.sum(-1), 1.0)
+
+
+def test_carla_ndt_seg_dataset(tmp_path):
+    path = make_ply_dir(tmp_path, n_points=300)
+    ds = CarlaNDTSeg(n_classes=5, n_samples=128, num_desired_nds=16, path=path)
+    pts, gt = ds[0]
+    assert pts.shape == (128, 3)
+    assert gt.shape == (16, 6)  # NDT-downsampled GT (reference quirk kept)
+
+
+def test_fps_spreads_points():
+    import jax.numpy as jnp
+
+    from ndtpu.ops.fps import farthest_point_sampling
+
+    # two tight clusters far apart: FPS must pick from both immediately
+    a = np.random.default_rng(0).normal(scale=0.01, size=(50, 3))
+    b = a + np.array([100.0, 0, 0])
+    pts = np.concatenate([a, b]).astype(np.float32)
+    idx = np.asarray(farthest_point_sampling(jnp.asarray(pts), 4))
+    assert len(set(idx.tolist())) == 4
+    sides = {int(i >= 50) for i in idx[:2]}
+    assert sides == {0, 1}
+
+
+def test_synthetic_dataset_and_loader():
+    ds = SyntheticSeg(n_classes=8, n_samples=128, length=7)
+    batches = list(batch_iterator(ds, batch_size=2, shuffle=True, seed=1))
+    assert len(batches) == 3  # drop_last
+    pts, gt = batches[0]
+    assert pts.shape == (2, 128, 3) and gt.shape == (2, 128, 9)
+
+    dev_batches = list(prefetch_to_device(batches))
+    assert len(dev_batches) == 3
+    np.testing.assert_allclose(
+        np.asarray(dev_batches[0][0]), batches[0][0], atol=0
+    )
+
+
+def test_random_cloud_stress_shape():
+    pts = random_cloud(90000, seed=0)  # ndt_downsample.c:5-13 workload
+    assert pts.shape == (90000, 3)
+    pts2 = random_cloud(90000, seed=0)
+    np.testing.assert_array_equal(pts, pts2)
