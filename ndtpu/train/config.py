@@ -44,25 +44,26 @@ class TrainConfig:
     steps_per_epoch: Optional[int] = None  # derived from dataset when None
 
     @classmethod
-    def from_args(cls, argv=None, **overrides):
-        """argparse overlay with the reference's flag names."""
+    def from_args(cls, argv=None, **default_overrides):
+        """argparse overlay with the reference's flag names;
+        `default_overrides` replace the dataclass defaults (e.g. the
+        pointnet trainer's n_samples=4160, train_pointnet.py:16-27) but
+        stay overridable on the command line."""
         import argparse
 
         parser = argparse.ArgumentParser()
         for f in dataclasses.fields(cls):
-            if f.name in overrides:
-                continue
+            default = default_overrides.get(f.name, f.default)
             t = f.type if isinstance(f.type, str) else getattr(f.type, "__name__", "str")
             if "int" in t:
-                parser.add_argument(f"--{f.name}", type=int, default=f.default)
+                parser.add_argument(f"--{f.name}", type=int, default=default)
             elif "float" in t:
-                parser.add_argument(f"--{f.name}", type=float, default=f.default)
+                parser.add_argument(f"--{f.name}", type=float, default=default)
             elif "bool" in t:
                 parser.add_argument(
-                    f"--{f.name}", action="store_true", default=f.default
+                    f"--{f.name}", action="store_true", default=default
                 )
             else:
-                parser.add_argument(f"--{f.name}", type=str, default=f.default)
+                parser.add_argument(f"--{f.name}", type=str, default=default)
         ns = parser.parse_args(argv)
-        kwargs = {**vars(ns), **overrides}
-        return cls(**kwargs)
+        return cls(**vars(ns))

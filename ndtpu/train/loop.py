@@ -140,6 +140,57 @@ def make_pointnet_seg_step():
     return step, eval_step
 
 
+def make_multiscale_seg_step(fine_res: int, coarse_res: int, n_classes: int,
+                             use_pallas: bool = False):
+    """Train step for NDTNetPPSegmentation (the working version of the
+    broken reference trainer, tools/train_multiscale.py — SURVEY.md §2.4):
+    fine + coarse NDT preprocessing on device, fine state threaded into the
+    model for its mid-forward prune, loss on the fine-resolution GT."""
+
+    def _prep(points, gt_onehot):
+        p1, c1, gt1, m1, state1 = ndt_preprocessing_with_state(
+            fine_res, points, gt_onehot, n_classes, use_pallas
+        )
+        p2, c2, _, _, _ = ndt_preprocessing_with_state(
+            coarse_res, points, gt_onehot, n_classes, use_pallas
+        )
+        return p1, c1, gt1, m1, state1, p2, c2
+
+    @jax.jit
+    def step(state, points, gt_onehot):
+        p1, c1, gt1, m1, state1, p2, c2 = _prep(points, gt_onehot)
+
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                p1, c1, state1, p2, c2, train=True, return_logits=True,
+                mutable=["batch_stats"],
+            )
+            loss = cross_entropy_loss(logits, gt1, m1)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        acc = accuracy(logits, gt1, m1)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    @jax.jit
+    def eval_step(state, points, gt_onehot):
+        p1, c1, gt1, m1, state1, p2, c2 = _prep(points, gt_onehot)
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            p1, c1, state1, p2, c2, train=False, return_logits=True,
+        )
+        return {
+            "loss": cross_entropy_loss(logits, gt1, m1),
+            "accuracy": accuracy(logits, gt1, m1),
+        }
+
+    return step, eval_step
+
+
 def make_classification_step(n_desired_nds: int, n_classes: int,
                              use_pallas: bool = False):
     """Train step for NDTNetClassification: batch = (points [B, N, 3],

@@ -1,0 +1,105 @@
+"""Hyperparameter search over the NDT-Net trainer.
+
+Equivalent of the reference `tools/hyperparameter_search.py:23-98` (optuna
+study minimizing 10-epoch train loss; search space :29-31: optimizer in
+{Adam, SGD}, batch size 2-10, lr 1e-5..1e-1). optuna is not in this image,
+so a seeded random-search fallback with the same space is built in; the
+optuna path activates automatically when available.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tools._common import make_dataset
+from ndtpu.data.loader import batch_iterator, prefetch_to_device
+from ndtpu.models import NDTNetSegmentation
+from ndtpu.train.loop import make_ndt_seg_step
+from ndtpu.train.state import create_train_state
+
+
+def objective_factory(args):
+    train_set = make_dataset(args.n_classes, args.n_samples, args.train_path)
+
+    def objective(optimizer_name: str, batch_size: int, lr: float) -> float:
+        if optimizer_name == "Adam":
+            tx = optax.adam(lr)
+        else:
+            tx = optax.sgd(lr)
+        model = NDTNetSegmentation(
+            num_classes=args.n_classes, feature_dim=args.feature_dim
+        )
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(0),
+            jnp.zeros((batch_size, args.n_desired_nds, 3)),
+            jnp.zeros((batch_size, args.n_desired_nds, 9)),
+            init_kwargs={"train": False},
+        )
+        step_fn, _ = make_ndt_seg_step(args.n_desired_nds, args.n_classes)
+        loss = float("inf")
+        for epoch in range(args.epochs):  # 10-epoch budget (reference :84)
+            for batch in prefetch_to_device(
+                batch_iterator(train_set, batch_size, shuffle=True, seed=epoch)
+            ):
+                state, metrics = step_fn(state, *batch)
+                loss = float(metrics["loss"])
+        return loss
+
+    return objective
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train_path", type=str, default=None)
+    p.add_argument("--n_desired_nds", type=int, default=256)
+    p.add_argument("--n_samples", type=int, default=2048)
+    p.add_argument("--n_classes", type=int, default=8)
+    p.add_argument("--feature_dim", type=int, default=128)
+    p.add_argument("--n_trials", type=int, default=10)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    objective = objective_factory(args)
+
+    try:
+        import optuna
+
+        def optuna_objective(trial):
+            return objective(
+                trial.suggest_categorical("optimizer", ["Adam", "SGD"]),
+                trial.suggest_int("batch_size", 2, 10),
+                trial.suggest_float("learning_rate", 1e-5, 1e-1, log=True),
+            )
+
+        study = optuna.create_study(direction="minimize")
+        study.optimize(optuna_objective, n_trials=args.n_trials)
+        print("best:", study.best_params, "loss:", study.best_value)
+        return
+    except ImportError:
+        print("optuna unavailable; running seeded random search", file=sys.stderr)
+
+    rng = np.random.default_rng(args.seed)
+    best = (float("inf"), None)
+    for trial in range(args.n_trials):
+        params = {
+            "optimizer": rng.choice(["Adam", "SGD"]),
+            "batch_size": int(rng.integers(2, 11)),
+            "learning_rate": float(10 ** rng.uniform(-5, -1)),
+        }
+        loss = objective(params["optimizer"], params["batch_size"],
+                         params["learning_rate"])
+        print(f"trial {trial}: {params} -> loss {loss:.4f}")
+        if loss < best[0]:
+            best = (loss, params)
+    print("best:", best[1], "loss:", best[0])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""NDT-Net trainer CLI — TPU-native equivalent of the reference
+`tools/train.py:95-208` with the same flag names (:99-112).
+
+Differences by design:
+- NDT preprocessing runs inside the jitted step on device (the reference
+  loops the batch on the host per step, ndtnet_preprocessing.py:27-63);
+- loss is computed from logits (the reference's CE-on-softmax bug is not
+  replicated);
+- LR halves every 20 epochs as intended (train.py:53-57 precedence bug
+  fixed);
+- checkpoints carry optimizer state + step and can resume (--resume);
+- runs data-parallel over all local devices automatically;
+- classification task is implemented (the reference raises
+  NotImplementedError, train.py:122-123).
+"""
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tools._common import make_dataset
+from ndtpu.data.loader import batch_iterator, prefetch_to_device
+from ndtpu.models import NDTNetClassification, NDTNetSegmentation
+from ndtpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from ndtpu.train.config import TrainConfig
+from ndtpu.train.loop import make_classification_step, make_lr_schedule, make_ndt_seg_step
+from ndtpu.train.metrics import MetricLogger
+from ndtpu.train.state import create_train_state, restore_checkpoint, save_checkpoint
+
+
+def run_epoch(step_fn, state, loader, train: bool):
+    total = {"loss": 0.0, "accuracy": 0.0}
+    n = 0
+    metrics = total
+    for batch in loader:
+        if train:
+            state, metrics = step_fn(state, *batch)
+        else:
+            metrics = step_fn(state, *batch)
+        n += 1
+        total = {k: total[k] + float(metrics[k]) for k in total}
+    mean = {k: (v / max(n, 1)) for k, v in total.items()}
+    return state, {**{f"last_{k}": float(v) for k, v in metrics.items()},
+                   **{f"mean_{k}": v for k, v in mean.items()}}
+
+
+def main():
+    cfg = TrainConfig.from_args()
+    out_dir = os.path.join(
+        cfg.out_path, datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    )
+
+    train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path, seed=0)
+    val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path, seed=1)
+    test_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.test_path, seed=2)
+
+    steps_per_epoch = max(1, len(train_set) // cfg.batch_size)
+    sched = make_lr_schedule(
+        cfg.learning_rate, steps_per_epoch, cfg.lr_decay_epochs, cfg.lr_decay_rate
+    )
+    tx = optax.adam(sched)
+
+    if "classification" in cfg.task:
+        model = NDTNetClassification(
+            num_classes=cfg.n_classes, feature_dim=cfg.feature_dim
+        )
+        step_fn, eval_fn = make_classification_step(cfg.n_desired_nds, cfg.n_classes)
+    else:
+        model = NDTNetSegmentation(
+            num_classes=cfg.n_classes, feature_dim=cfg.feature_dim
+        )
+        step_fn, eval_fn = make_ndt_seg_step(cfg.n_desired_nds, cfg.n_classes)
+
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(cfg.seed),
+        jnp.zeros((cfg.batch_size, cfg.n_desired_nds, 3)),
+        jnp.zeros((cfg.batch_size, cfg.n_desired_nds, 9)),
+        init_kwargs={"train": False},
+    )
+    if cfg.resume:
+        state = restore_checkpoint(state, cfg.resume)
+        print(f"resumed from {cfg.resume} at step {int(state.step)}")
+
+    mesh = make_mesh((cfg.data_axis,))
+    state = replicate(mesh, state)
+    sharding = batch_sharding(mesh, cfg.data_axis)
+
+    logger = MetricLogger(
+        use_wandb=cfg.wandb, project=cfg.wandb_project,
+        run_name=f"{cfg.task}_{datetime.datetime.now():%Y%m%d_%H%M%S}",
+        config=vars(cfg),
+    )
+
+    for epoch in range(cfg.epochs):
+        loader = prefetch_to_device(
+            batch_iterator(train_set, cfg.batch_size, shuffle=True, seed=epoch),
+            sharding,
+        )
+        state, m = run_epoch(step_fn, state, loader, train=True)
+        logger.log({f"train_{k}": v for k, v in m.items()}, step=epoch + 1)
+
+        loader = prefetch_to_device(
+            batch_iterator(val_set, cfg.batch_size, shuffle=False), sharding
+        )
+        _, m = run_epoch(eval_fn, state, loader, train=False)
+        logger.log({f"val_{k}": v for k, v in m.items()}, step=epoch + 1)
+
+        if (epoch + 1) % cfg.save_every == 0:
+            path = save_checkpoint(
+                state, os.path.join(out_dir, f"ndtnet_{cfg.task}_{epoch + 1}")
+            )
+            print(f"saved checkpoint to {path}")
+
+    loader = prefetch_to_device(
+        batch_iterator(test_set, cfg.batch_size, shuffle=False), sharding
+    )
+    _, m = run_epoch(eval_fn, state, loader, train=False)
+    logger.log({f"test_{k}": v for k, v in m.items()})
+    logger.finish()
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main()

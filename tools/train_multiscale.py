@@ -1,0 +1,100 @@
+"""Multiscale NDT-Net++ trainer CLI.
+
+The reference `tools/train_multiscale.py` is broken as shipped (imports a
+nonexistent module :11, dataset/ctor mismatches, undefined variables —
+SURVEY.md §2.4). This is the working realization of its intent: two NDT
+resolutions (fine n_desired_nds=8160, coarse n_desired_nds1=4080, :18-19),
+batch 4 (:26), the NDT-Net++ segmentation model with its on-device
+mid-forward prune.
+"""
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tools._common import make_dataset
+from tools.train import run_epoch
+from ndtpu.data.loader import batch_iterator, prefetch_to_device
+from ndtpu.models import NDTNetPPSegmentation
+from ndtpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from ndtpu.train.config import TrainConfig
+from ndtpu.train.loop import make_lr_schedule, make_multiscale_seg_step
+from ndtpu.train.metrics import MetricLogger
+from ndtpu.train.state import create_train_state, restore_checkpoint, save_checkpoint
+
+
+def main():
+    cfg = TrainConfig.from_args(
+        n_desired_nds=8160, batch_size=4, feature_dim=1024
+    )
+    fine, coarse = cfg.n_desired_nds, cfg.n_desired_nds1
+
+    out_dir = os.path.join(
+        cfg.out_path, datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    )
+    train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path, seed=0)
+    val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path, seed=1)
+
+    steps_per_epoch = max(1, len(train_set) // cfg.batch_size)
+    tx = optax.adam(
+        make_lr_schedule(cfg.learning_rate, steps_per_epoch,
+                         cfg.lr_decay_epochs, cfg.lr_decay_rate)
+    )
+    model = NDTNetPPSegmentation(
+        num_classes=cfg.n_classes, fine_res=fine, coarse_res=coarse,
+        feature_dim=cfg.feature_dim,
+    )
+    step_fn, eval_fn = make_multiscale_seg_step(fine, coarse, cfg.n_classes)
+
+    # template init needs a real NDT state pytree: run one tiny preprocess
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+    dummy_pts = jnp.zeros((cfg.batch_size, max(fine * 2, 64), 3))
+    p1, c1, _, _, state1 = ndt_preprocessing_with_state(
+        fine, dummy_pts, None, cfg.n_classes
+    )
+    p2, c2, _, _, _ = ndt_preprocessing_with_state(
+        coarse, dummy_pts, None, cfg.n_classes
+    )
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(cfg.seed), p1, c1, state1, p2, c2,
+        init_kwargs={"train": False},
+    )
+    if cfg.resume:
+        state = restore_checkpoint(state, cfg.resume)
+
+    mesh = make_mesh((cfg.data_axis,))
+    state = replicate(mesh, state)
+    sharding = batch_sharding(mesh, cfg.data_axis)
+
+    logger = MetricLogger(use_wandb=cfg.wandb, project=cfg.wandb_project,
+                          config=vars(cfg))
+    for epoch in range(cfg.epochs):
+        loader = prefetch_to_device(
+            batch_iterator(train_set, cfg.batch_size, shuffle=True, seed=epoch),
+            sharding,
+        )
+        state, m = run_epoch(step_fn, state, loader, train=True)
+        logger.log({f"train_{k}": v for k, v in m.items()}, step=epoch + 1)
+
+        loader = prefetch_to_device(
+            batch_iterator(val_set, cfg.batch_size, shuffle=False), sharding
+        )
+        _, m = run_epoch(eval_fn, state, loader, train=False)
+        logger.log({f"val_{k}": v for k, v in m.items()}, step=epoch + 1)
+
+        if (epoch + 1) % cfg.save_every == 0:
+            save_checkpoint(
+                state, os.path.join(out_dir, f"ndtnetpp_{cfg.task}_{epoch + 1}")
+            )
+    logger.finish()
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main()
