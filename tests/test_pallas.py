@@ -1,0 +1,63 @@
+"""Pallas segment-sum kernel vs. the XLA path (interpret mode on CPU;
+the same code compiles with Mosaic on TPU — exercised by bench.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndtpu.core.ndt import ndt_downsample
+from ndtpu.ops.pallas.segment_moments import segment_sum_sorted
+
+
+def dense_ranks(n, k, rng):
+    """Non-decreasing ids with unit steps (the kernel's precondition —
+    what cumsum-of-boundary-flags produces in the NDT pipeline)."""
+    steps = np.zeros(n, np.int32)
+    pos = rng.choice(n - 1, size=min(k - 1, n - 1), replace=False) + 1
+    steps[pos] = 1
+    return np.cumsum(steps).astype(np.int32)
+
+
+@pytest.mark.parametrize("n,k,f,block", [
+    (1000, 37, 16, 128),
+    (513, 5, 42, 256),     # non-divisible N -> padding path
+    (64, 40, 8, 512),      # tiny input, block clamped to N
+])
+def test_segment_sum_matches_xla(n, k, f, block):
+    rng = np.random.default_rng(0)
+    seg = dense_ranks(n, k, rng)
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    out = segment_sum_sorted(jnp.asarray(feats), jnp.asarray(seg), k, block_n=block)
+    ref = jax.ops.segment_sum(
+        jnp.asarray(feats), jnp.asarray(seg), num_segments=k,
+        indices_are_sorted=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_sentinel_rows_dropped():
+    rng = np.random.default_rng(1)
+    n, k = 300, 20
+    seg = dense_ranks(n, k, rng)
+    seg[-40:] = k  # trailing jump to the invalid-id sentinel
+    feats = rng.normal(size=(n, 4)).astype(np.float32)
+    out = segment_sum_sorted(jnp.asarray(feats), jnp.asarray(seg), k, block_n=64)
+    ref = jax.ops.segment_sum(
+        jnp.asarray(feats[:-40]), jnp.asarray(seg[:-40]), num_segments=k
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_full_pipeline_pallas_parity():
+    rng = np.random.default_rng(2)
+    centers = rng.uniform(-5, 5, size=(30, 3))
+    pts = (
+        (centers[:, None, :] + rng.normal(scale=0.3, size=(30, 20, 3)))
+        .reshape(-1, 3)
+        .astype(np.float32)
+    )
+    a = ndt_downsample(jnp.asarray(pts), 16, use_pallas=False)
+    b = ndt_downsample(jnp.asarray(pts), 16, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
