@@ -62,17 +62,22 @@ def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas):
             variables, pcl, covs, train=False, return_logits=True
         )
 
-    return pipeline, variables
+    @jax.jit
+    def pipeline_scalar(variables, points):
+        # scalar readback forces true completion: on the tunneled axon
+        # backend block_until_ready returns before execution finishes,
+        # so timing must fetch a value derived from the full output
+        return jnp.sum(pipeline(variables, points))
+
+    return pipeline, pipeline_scalar, variables
 
 
-def timed_throughput(fn, variables, batch_arr, iters, warmup=2):
-    import jax
-
+def timed_throughput(fn_scalar, variables, batch_arr, iters, warmup=2):
     for _ in range(warmup):
-        fn(variables, batch_arr).block_until_ready()
+        float(fn_scalar(variables, batch_arr))
     t0 = time.perf_counter()
     for _ in range(iters):
-        fn(variables, batch_arr).block_until_ready()
+        float(fn_scalar(variables, batch_arr))
     dt = time.perf_counter() - t0
     return (iters * batch_arr.shape[0]) / dt, dt / iters
 
@@ -99,13 +104,13 @@ def main():
 
     import jax.numpy as jnp
 
-    pipeline, variables = build_pipeline(
+    _, pipeline_scalar, variables = build_pipeline(
         args.n_desired_nds, args.n_classes, args.feature_dim,
         args.batch_size, args.use_pallas,
     )
     batch_dev = jnp.asarray(batch)
     tput, per_step = timed_throughput(
-        pipeline, variables, batch_dev, args.iters
+        pipeline_scalar, variables, batch_dev, args.iters
     )
     print(
         f"[bench] device throughput: {tput:.2f} clouds/s "
@@ -118,13 +123,14 @@ def main():
         try:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
-                pipe_cpu, vars_cpu = build_pipeline(
+                _, pipe_cpu_scalar, vars_cpu = build_pipeline(
                     args.n_desired_nds, args.n_classes, args.feature_dim,
                     args.batch_size, False,
                 )
                 batch_cpu = jax.device_put(jnp.asarray(batch), cpu)
                 cpu_tput, _ = timed_throughput(
-                    pipe_cpu, vars_cpu, batch_cpu, args.cpu_iters, warmup=1
+                    pipe_cpu_scalar, vars_cpu, batch_cpu, args.cpu_iters,
+                    warmup=1,
                 )
             print(f"[bench] host-CPU baseline: {cpu_tput:.2f} clouds/s",
                   file=sys.stderr)
