@@ -115,7 +115,8 @@ def lex_search(sorted_keys, queries):
 
 
 def neighbor_min_kl(means, covs, counts, zyx, lens):
-    """Per-segment minimum KL to its 6-connected occupied neighbors.
+    """Per-segment minimum AND maximum KL to its 6-connected occupied
+    neighbors.
 
     Replaces `calculate_kl_divergences` (kullback_leibler.c:129-202) plus the
     global ordering consumed by the pruner: the sequential
@@ -130,7 +131,11 @@ def neighbor_min_kl(means, covs, counts, zyx, lens):
             INT32_MAX padding.
       lens  [3] int32 grid dims (x, y, z).
 
-    Returns min_kl [K] f32 (inf where the segment has no valid pair).
+    Returns (min_kl [K], max_kl [K]) f32 (inf / -inf where the segment has
+    no valid pair). min_kl drives the documented-intent ascending prune;
+    max_kl drives the legacy C-core order (descending entry list,
+    kullback_leibler.c:181-190 + ndt.c:49-67 — a documented reference bug
+    kept available for bit-level behavioral comparison).
     """
     k = means.shape[0]
     # neighbor voxel coords for each segment, in (z, y, x) key order
@@ -157,5 +162,6 @@ def neighbor_min_kl(means, covs, counts, zyx, lens):
         & (counts[:, None] > 1)
         & (cnt_q > 1)
     )
-    kl = jnp.where(pair_ok, kl, jnp.inf)
-    return jnp.min(kl, axis=1)
+    min_kl = jnp.min(jnp.where(pair_ok, kl, jnp.inf), axis=1)
+    max_kl = jnp.max(jnp.where(pair_ok, kl, -jnp.inf), axis=1)
+    return min_kl, max_kl

@@ -70,6 +70,7 @@ class NDTResult(struct.PyTreeNode):
     class_hist: jax.Array   # [K, C+1] i32
     zyx: jax.Array          # [K, 3] i32 voxel coords (z,y,x), sorted; pad=INT32_MAX
     min_kl: jax.Array       # [K] f32, inf = no valid neighbor pair
+    max_kl: jax.Array       # [K] f32, -inf = no valid pair (legacy C order)
     lens: jax.Array         # [3] i32 grid dims (x, y, z)
     offsets: jax.Array      # [3] f32
     voxel_size: jax.Array   # scalar f32
@@ -206,7 +207,7 @@ def _build_state(points, mask, classes, num_class_slots, voxel_size,
     means, covs = finalize_moments(
         mom["counts"], mom["sum_shift"], mom["sum_outer"], seg_centers
     )
-    min_kl = neighbor_min_kl(means, covs, mom["counts"], seg_zyx, lens)
+    min_kl, max_kl = neighbor_min_kl(means, covs, mom["counts"], seg_zyx, lens)
 
     return NDTResult(
         means=means,
@@ -215,6 +216,7 @@ def _build_state(points, mask, classes, num_class_slots, voxel_size,
         class_hist=mom["class_hist"],
         zyx=seg_zyx,
         min_kl=min_kl,
+        max_kl=max_kl,
         lens=lens,
         offsets=offsets,
         voxel_size=voxel_size,
@@ -223,19 +225,29 @@ def _build_state(points, mask, classes, num_class_slots, voxel_size,
     )
 
 
-def _emit(state: NDTResult, n_out: int):
+def _emit(state: NDTResult, n_out: int, prune_order: str = "ascending"):
     """Steps 5-6: prune to n_out NDs and compact (ndt.c:28-117).
+
+    prune_order: "ascending" removes the least-divergent first (the
+    documented intent, README.md:6 / core/ndt.py:59-73); "legacy_c"
+    replicates the C core's actual behavior (descending entry list,
+    SURVEY.md §2.4) by removing the most-divergent first.
 
     Returns (points [n_out,3], covs [n_out,9], class_labels [n_out] i32,
     out_mask [n_out] bool). Rows beyond the kept count are zero/masked.
     """
     k = state.max_nds
     to_remove = jnp.maximum(state.num_valid - n_out, 0)
-    # ascending min-KL rank; stable keeps voxel-index order among ties,
-    # padding slots (min_kl=inf over counts=0) sort last
+    # rank by min (or legacy: max) pair KL; stable keeps voxel-index order
+    # among ties, padding slots (no valid pair / counts=0) sort last
     occupied = state.counts > 0
-    sort_kl = jnp.where(occupied, state.min_kl, jnp.inf)
-    order = jnp.argsort(sort_kl, stable=True)
+    if prune_order == "legacy_c":
+        key = jnp.where(
+            occupied & jnp.isfinite(state.max_kl), -state.max_kl, jnp.inf
+        )
+    else:
+        key = jnp.where(occupied, state.min_kl, jnp.inf)
+    order = jnp.argsort(key, stable=True)
     rank = jnp.zeros((k,), jnp.int32).at[order].set(jnp.arange(k, dtype=jnp.int32))
     removed = occupied & (rank < to_remove)
     keep = occupied & ~removed
@@ -254,10 +266,12 @@ def _emit(state: NDTResult, n_out: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_desired", "num_class_slots", "use_pallas")
+    jax.jit,
+    static_argnames=("n_desired", "num_class_slots", "use_pallas", "prune_order"),
 )
 def ndt_downsample(points, n_desired: int, mask=None, classes=None,
-                   num_class_slots: int = 1, use_pallas: bool = False):
+                   num_class_slots: int = 1, use_pallas: bool = False,
+                   prune_order: str = "ascending"):
     """Full NDT downsample of one cloud (ndt_downsample, ndt.c:119-222).
 
     Args:
@@ -284,17 +298,17 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
         points, mask, classes, num_class_slots, voxel_size, converged,
         mins, maxs, k_max, use_pallas=use_pallas,
     )
-    pcl, covs, labels, out_mask = _emit(state, n_desired)
+    pcl, covs, labels, out_mask = _emit(state, n_desired, prune_order)
     return pcl, covs, labels, out_mask, state
 
 
-@functools.partial(jax.jit, static_argnames=("n_out",))
-def ndt_prune(state: NDTResult, n_out: int):
+@functools.partial(jax.jit, static_argnames=("n_out", "prune_order"))
+def ndt_prune(state: NDTResult, n_out: int, prune_order: str = "ascending"):
     """Second-stage prune to a coarser resolution (prune_nds + to_point_cloud
     via ndt_legacy.py:173-240). Continuing the ascending removal from the
     retained state is exactly re-ranking with a larger to_remove — the
     removed set is a prefix of the same min-KL ordering."""
-    return _emit(state, n_out)
+    return _emit(state, n_out, prune_order)
 
 
 class NDTSampler:

@@ -93,7 +93,10 @@ def test_neighbor_min_kl_two_voxels():
     zyx = jnp.array([[0, 0, 0], [0, 0, 1], [big, big, big], [big, big, big]], jnp.int32)
     lens = jnp.array([2, 1, 1], jnp.int32)
 
-    min_kl = np.asarray(neighbor_min_kl(means, covs, counts, zyx, lens))
+    min_kl, max_kl = neighbor_min_kl(means, covs, counts, zyx, lens)
+    min_kl, max_kl = np.asarray(min_kl), np.asarray(max_kl)
+    # single neighbor pair: min == max
+    np.testing.assert_allclose(min_kl[:2], max_kl[:2], rtol=1e-6)
     np.testing.assert_allclose(
         min_kl[0], reference_kl(mu_a, cov_a, mu_b, cov_b), rtol=1e-3, atol=1e-4
     )
@@ -112,5 +115,6 @@ def test_neighbor_min_kl_sample_gating():
     counts = jnp.array([10, 1], jnp.int32)
     zyx = jnp.array([[0, 0, 0], [0, 0, 1]], jnp.int32)
     lens = jnp.array([2, 1, 1], jnp.int32)
-    min_kl = np.asarray(neighbor_min_kl(means, covs, counts, zyx, lens))
-    assert np.isinf(min_kl).all()
+    min_kl, max_kl = neighbor_min_kl(means, covs, counts, zyx, lens)
+    assert np.isinf(np.asarray(min_kl)).all()
+    assert np.isinf(np.asarray(max_kl)).all()

@@ -50,15 +50,50 @@ def run_epoch(step_fn, state, loader, train: bool):
                    **{f"mean_{k}": v for k, v in mean.items()}}
 
 
+class _OneHotCls:
+    """Adapter: classification dataset (points, label) ->
+    (points, onehot [num_classes])."""
+
+    def __init__(self, ds, num_classes):
+        self.ds, self.num_classes = ds, num_classes
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        pts, label = self.ds[i]
+        oh = np.zeros((self.num_classes,), np.float32)
+        oh[label] = 1.0
+        return pts, oh
+
+
+def make_cls_dataset(cfg, split, seed):
+    from ndtpu.data.classification import ModelNetCls, SyntheticCls
+
+    path = {"train": cfg.train_path, "val": cfg.val_path,
+            "test": cfg.test_path}[split]
+    if path:
+        ds = ModelNetCls(path, split="train" if split == "train" else "test",
+                         n_points=cfg.n_samples, seed=seed)
+        return _OneHotCls(ds, max(cfg.n_classes, ds.n_classes))
+    ds = SyntheticCls(n_points=cfg.n_samples, length=32, seed=seed)
+    return _OneHotCls(ds, cfg.n_classes)
+
+
 def main():
     cfg = TrainConfig.from_args()
     out_dir = os.path.join(
         cfg.out_path, datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     )
 
-    train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path, seed=0)
-    val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path, seed=1)
-    test_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.test_path, seed=2)
+    if "classification" in cfg.task:
+        train_set = make_cls_dataset(cfg, "train", 0)
+        val_set = make_cls_dataset(cfg, "val", 1)
+        test_set = make_cls_dataset(cfg, "test", 2)
+    else:
+        train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path, seed=0)
+        val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path, seed=1)
+        test_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.test_path, seed=2)
 
     steps_per_epoch = max(1, len(train_set) // cfg.batch_size)
     sched = make_lr_schedule(
