@@ -14,4 +14,8 @@ from ndtpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     init_distributed,
 )
-from ndtpu.parallel.point_sharded import sharded_segment_moments  # noqa: F401
+from ndtpu.parallel.point_sharded import (  # noqa: F401
+    make_point_sharded_downsample,
+    sharded_count_occupied,
+    sharded_segment_moments,
+)

@@ -142,3 +142,102 @@ def sharded_count_occupied(mesh: Mesh, points, mask, voxel_size, lens,
         out_specs=P(),
         check_vma=False,
     )(points, mask)
+
+
+def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
+                                  num_class_slots: int = 1,
+                                  axis: str = "points"):
+    """Full NDT downsample for a single giant cloud sharded over the point
+    axis — the complete sequence-parallel-analogue pipeline (SURVEY.md §5):
+    voxel-size binary search with collective occupied counts, point-sharded
+    moment psum, then KL + prune on the replicated (small) ND set.
+
+    Returns a jitted fn(points [N,3], mask [N], classes [N]) ->
+    (pcl [n_desired,3], covs [n_desired,9], labels, out_mask, NDTResult),
+    matching ndt_downsample's contract. N must divide by the mesh size.
+    """
+    import functools
+
+    from ndtpu.core import ndt as nd
+    from ndtpu.core.kl import neighbor_min_kl
+    from ndtpu.core.moments import finalize_moments
+
+    k_max = nd.max_segments(n_desired)
+
+    def search(points, mask, mins, maxs):
+        upper = n_desired * (1.0 + nd.DOWNSAMPLE_UPPER_THRESHOLD)
+        init = (
+            jnp.array(False),
+            jnp.float32((nd.MAX_VOXEL_GUESS - nd.MIN_VOXEL_GUESS) / 2.0),
+            jnp.float32(nd.MIN_VOXEL_GUESS),
+            jnp.float32(nd.MAX_VOXEL_GUESS),
+            jnp.int32(0),
+            jnp.float32(0.0),
+            jnp.int32(jnp.iinfo(jnp.int32).max),
+        )
+
+        def cond(c):
+            done, _, _, _, it, _, _ = c
+            return (~done) & (it < nd.MAX_GUESS_ITERATIONS)
+
+        def body(c):
+            done, guess, lo, hi, it, best_g, best_c = c
+            lens, offsets = vx.estimate_voxel_grid(mins, maxs, guess)
+            count = sharded_count_occupied(
+                mesh, points, mask, guess, lens, offsets, k_max, axis
+            )
+            too_many = count.astype(jnp.float32) > upper
+            too_few = count < n_desired
+            hit = ~too_many & ~too_few
+            better = (count >= n_desired) & (count < best_c)
+            best_g = jnp.where(better, guess, best_g)
+            best_c = jnp.where(better, count, best_c)
+            lo = jnp.where(too_many, guess, lo)
+            hi = jnp.where(too_few, guess, hi)
+            guess = jnp.where(hit, guess, lo + (hi - lo) / 2.0)
+            return (hit, guess, lo, hi, it + 1, best_g, best_c)
+
+        done, guess, _, _, _, best_g, best_c = jax.lax.while_loop(
+            cond, body, init
+        )
+        have_best = best_c < jnp.iinfo(jnp.int32).max
+        return jnp.where(done, guess, jnp.where(have_best, best_g, guess)), done
+
+    @jax.jit
+    def downsample(points, mask=None, classes=None):
+        n = points.shape[0]
+        if mask is None:
+            mask = jnp.ones((n,), bool)
+        if classes is None:
+            classes = jnp.zeros((n,), jnp.int32)
+        points = points.astype(jnp.float32)
+
+        mins, maxs = vx.pointcloud_limits(points, mask)  # global-view reduce
+        voxel_size, converged = search(points, mask, mins, maxs)
+        lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
+
+        mom = sharded_segment_moments(
+            mesh, points, mask, voxel_size, lens, offsets, k_max,
+            num_class_slots=num_class_slots, classes=classes, axis=axis,
+        )
+        seg_centers = vx.voxel_to_metric_space(
+            jnp.where((mom["counts"] > 0)[:, None], mom["table"][:, ::-1], 0),
+            voxel_size, offsets,
+        )
+        means, covs = finalize_moments(
+            mom["counts"], mom["sum_shift"], mom["sum_outer"], seg_centers
+        )
+        min_kl, max_kl = neighbor_min_kl(
+            means, covs, mom["counts"], mom["table"], lens
+        )
+        state = nd.NDTResult(
+            means=means, covs=covs, counts=mom["counts"],
+            class_hist=mom["class_hist"], zyx=mom["table"],
+            min_kl=min_kl, max_kl=max_kl, lens=lens, offsets=offsets,
+            voxel_size=voxel_size, num_valid=mom["num_valid"],
+            converged=converged,
+        )
+        pcl, cov9, labels, out_mask = nd._emit(state, n_desired)
+        return pcl, cov9, labels, out_mask, state
+
+    return downsample

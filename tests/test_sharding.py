@@ -139,3 +139,33 @@ def test_point_sharded_moments_exact():
         k_max,
     )
     assert int(cnt) == int((np.asarray(ref["counts"]) > 0).sum())
+
+
+@pytest.mark.slow
+def test_point_sharded_full_downsample_matches_single_device():
+    """The whole giant-cloud pipeline (search + moments + KL + prune) on a
+    point-sharded mesh must agree with single-device ndt_downsample."""
+    from ndtpu.parallel.point_sharded import make_point_sharded_downsample
+
+    rng = np.random.default_rng(5)
+    centers = rng.uniform(-6, 6, size=(40, 3))
+    pts = (
+        (centers[:, None, :] + rng.normal(scale=0.3, size=(40, 26, 3)))
+        .reshape(-1, 3)[:1024]
+        .astype(np.float32)
+    )
+    n_desired = 24
+
+    mesh = make_mesh(("points",))
+    fn = make_point_sharded_downsample(mesh, n_desired)
+    pcl_sh, covs_sh, labels_sh, mask_sh, state_sh = fn(jnp.asarray(pts))
+
+    pcl, covs, labels, mask, state = ndt_downsample(jnp.asarray(pts), n_desired)
+    assert int(mask_sh.sum()) == int(mask.sum()) == n_desired
+    assert float(jnp.abs(state_sh.voxel_size - state.voxel_size)) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(pcl_sh), np.asarray(pcl), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(covs_sh), np.asarray(covs), atol=2e-4
+    )
