@@ -39,7 +39,8 @@ def make_batch(batch, n_points, seed=0):
     return np.stack(clouds)
 
 
-def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas):
+def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas,
+                   search="fast"):
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +58,7 @@ def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas):
     @jax.jit
     def pipeline(variables, points):
         pcl, covs, _, mask, _ = ndt_preprocessing_with_state(
-            n_desired, points, None, n_classes, use_pallas
+            n_desired, points, None, n_classes, use_pallas, search
         )
         return model.apply(
             variables, pcl, covs, train=False, return_logits=True
@@ -106,6 +107,11 @@ def main():
     p.add_argument("--inner", type=int, default=8)
     p.add_argument("--cpu_iters", type=int, default=1)
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--search", type=str, default="fast",
+                   choices=["fast", "reference"],
+                   help="'fast' hits the same [n, 1.2n] acceptance band in "
+                        "~2-5 voxelizations; 'reference' follows the C "
+                        "bisection trajectory")
     p.add_argument("--skip_cpu_baseline", action="store_true")
     args = p.parse_args()
 
@@ -120,7 +126,7 @@ def main():
 
     _, pipeline_scalar, pipeline_repeat, variables = build_pipeline(
         args.n_desired_nds, args.n_classes, args.feature_dim,
-        args.batch_size, args.use_pallas,
+        args.batch_size, args.use_pallas, args.search,
     )
     batch_dev = jnp.asarray(batch)
 
@@ -155,7 +161,7 @@ def main():
             with jax.default_device(cpu):
                 _, pipe_cpu_scalar, _, vars_cpu = build_pipeline(
                     args.n_desired_nds, args.n_classes, args.feature_dim,
-                    args.batch_size, False,
+                    args.batch_size, False, args.search,
                 )
                 batch_cpu = jax.device_put(jnp.asarray(batch), cpu)
                 cpu_tput, _ = timed_throughput(

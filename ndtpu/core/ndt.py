@@ -156,21 +156,75 @@ def _search_voxel_size(points, mask, n_desired, mins, maxs):
     return final, done
 
 
+def _search_voxel_size_fast(points, mask, n_desired, mins, maxs):
+    """Accelerated search: same acceptance band [n, 1.2n] as the reference
+    (so results are equally valid), but seeded with the geometric-mean
+    estimate (voxel.c:28-59) and iterated with a secant step on log voxel
+    size — occupied count scales roughly as size^-3, so
+    ``guess *= (count/target)^(1/3)`` converges in ~2-5 counts instead of
+    the blind bisection's ~8-15. Bisection bounds are kept as a safety
+    rail; the step falls back to the midpoint if the secant leaves them.
+    """
+    upper = n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD)
+    target = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD / 2.0))
+    size0, _, _ = vx.estimate_voxel_size(n_desired, mins, maxs)
+    size0 = jnp.clip(
+        jnp.nan_to_num(size0, nan=1.0),
+        MIN_VOXEL_GUESS, MAX_VOXEL_GUESS,
+    )
+    init = (
+        jnp.array(False),
+        size0.astype(jnp.float32),
+        jnp.float32(MIN_VOXEL_GUESS),
+        jnp.float32(MAX_VOXEL_GUESS),
+        jnp.int32(0),
+        jnp.float32(0.0),
+        jnp.int32(jnp.iinfo(jnp.int32).max),
+    )
+
+    def cond(c):
+        done, _, _, _, it, _, _ = c
+        return (~done) & (it < MAX_GUESS_ITERATIONS)
+
+    def body(c):
+        done, guess, lo, hi, it, best_g, best_c = c
+        count = _count_occupied(points, mask, guess, mins, maxs)
+        too_many = count.astype(jnp.float32) > upper
+        too_few = count < n_desired
+        hit = ~too_many & ~too_few
+        better = (count >= n_desired) & (count < best_c)
+        best_g = jnp.where(better, guess, best_g)
+        best_c = jnp.where(better, count, best_c)
+        lo = jnp.where(too_many, guess, lo)
+        hi = jnp.where(too_few, guess, hi)
+        ratio = jnp.maximum(count, 1).astype(jnp.float32) / target
+        secant = guess * jnp.power(ratio, 1.0 / 3.0)
+        inside = (secant > lo) & (secant < hi)
+        nxt = jnp.where(inside, secant, lo + (hi - lo) / 2.0)
+        guess = jnp.where(hit, guess, nxt)
+        return (hit, guess, lo, hi, it + 1, best_g, best_c)
+
+    done, guess, _, _, _, best_g, best_c = jax.lax.while_loop(cond, body, init)
+    have_best = best_c < jnp.iinfo(jnp.int32).max
+    final = jnp.where(done, guess, jnp.where(have_best, best_g, guess))
+    return final, done
+
+
 def _build_state(points, mask, classes, num_class_slots, voxel_size,
                  converged, mins, maxs, k_max, use_pallas=False):
     """Steps 3-4: sort by voxel key, reduce moments, compute neighbor KLs."""
     n = points.shape[0]
     key, coords, lens, offsets = _voxel_keys(points, mask, voxel_size, mins, maxs)
 
-    z, y, x, px, py, pz, cls = jax.lax.sort(
-        (
-            key[:, 0], key[:, 1], key[:, 2],
-            points[:, 0], points[:, 1], points[:, 2],
-            classes.astype(jnp.int32),
-        ),
-        num_keys=3,
+    # sort keys with a permutation payload, then gather points/classes —
+    # cheaper than dragging 4 extra f32/i32 operands through every pass of
+    # the bitonic sort
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    z, y, x, perm = jax.lax.sort(
+        (key[:, 0], key[:, 1], key[:, 2], iota), num_keys=3
     )
-    pts_s = jnp.stack([px, py, pz], axis=1)
+    pts_s = points[perm]
+    cls = classes.astype(jnp.int32)[perm]
     valid_s = z != _INT_MAX
 
     new_seg = jnp.ones((n,), bool)
@@ -267,11 +321,13 @@ def _emit(state: NDTResult, n_out: int, prune_order: str = "ascending"):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_desired", "num_class_slots", "use_pallas", "prune_order"),
+    static_argnames=(
+        "n_desired", "num_class_slots", "use_pallas", "prune_order", "search"
+    ),
 )
 def ndt_downsample(points, n_desired: int, mask=None, classes=None,
                    num_class_slots: int = 1, use_pallas: bool = False,
-                   prune_order: str = "ascending"):
+                   prune_order: str = "ascending", search: str = "reference"):
     """Full NDT downsample of one cloud (ndt_downsample, ndt.c:119-222).
 
     Args:
@@ -280,6 +336,9 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
       mask: optional [N] bool validity (padding rows).
       classes: optional [N] int class tags in [0, num_class_slots).
       num_class_slots: static, = n_classes + 1 in reference terms.
+      search: "reference" follows the C bisection trajectory exactly
+        (ndt.c:136-187); "fast" reaches the same acceptance band in ~2-5
+        voxelizations via a seeded secant iteration (2-4x fewer sorts).
 
     Returns (pcl [n_desired,3], covs [n_desired,9], labels [n_desired] i32,
     out_mask [n_desired] bool, state: NDTResult).
@@ -293,7 +352,10 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
     k_max = max_segments(n_desired)
 
     mins, maxs = vx.pointcloud_limits(points, mask)
-    voxel_size, converged = _search_voxel_size(points, mask, n_desired, mins, maxs)
+    search_fn = (
+        _search_voxel_size_fast if search == "fast" else _search_voxel_size
+    )
+    voxel_size, converged = search_fn(points, mask, n_desired, mins, maxs)
     state = _build_state(
         points, mask, classes, num_class_slots, voxel_size, converged,
         mins, maxs, k_max, use_pallas=use_pallas,

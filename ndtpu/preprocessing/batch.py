@@ -21,11 +21,12 @@ from ndtpu.core.ndt import ndt_downsample
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_nds", "num_classes", "use_pallas")
+    jax.jit, static_argnames=("num_nds", "num_classes", "use_pallas", "search")
 )
 def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
                                  num_classes: int = 0,
-                                 use_pallas: bool = False):
+                                 use_pallas: bool = False,
+                                 search: str = "reference"):
     """Like `ndt_preprocessing` but also returns (out_mask, NDTResult batch)
     for multiscale models that prune mid-forward."""
     slots = num_classes + 1
@@ -33,7 +34,7 @@ def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
     def one(p, cls):
         return ndt_downsample(
             p, num_nds, None, cls, num_class_slots=slots,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, search=search,
         )
 
     if classes_onehot is not None:

@@ -42,6 +42,19 @@ def test_prune_order_variants():
     assert int(m2.sum()) == 12
 
 
+def test_fast_search_lands_in_band():
+    """search='fast' must satisfy the same acceptance criterion as the
+    reference bisection: num_valid in [n, 1.2n] when feasible."""
+    for seed, n_desired in [(0, 24), (1, 100), (2, 50)]:
+        pts = random_cloud(6000, extent=15.0, seed=seed)
+        out = ndt_downsample(jnp.asarray(pts), n_desired, search="fast")
+        state = out[4]
+        assert bool(state.converged), f"seed {seed} did not converge"
+        nv = int(state.num_valid)
+        assert n_desired <= nv <= int(n_desired * 1.2) + 1
+        assert int(out[3].sum()) == n_desired
+
+
 def test_degenerate_clouds():
     # all points identical -> 1 occupied voxel, zero covariance
     pts = jnp.broadcast_to(jnp.array([1.0, 2.0, 3.0]), (128, 3))
