@@ -246,12 +246,17 @@ def _build_state(points, mask, classes, num_class_slots, voxel_size,
         pts_s, centers, seg, k_max, valid=valid_s,
         classes=cls, num_class_slots=num_class_slots, use_pallas=use_pallas,
     )
-    # per-segment voxel key (uniform within a segment -> max works); empty
-    # slots become INT32_MAX so zyx stays lexicographically sorted
-    seg_zyx = jax.ops.segment_max(
-        jnp.stack([z, y, x], axis=1), seg, num_segments=k_max + 1,
-        indices_are_sorted=True,
-    )[:k_max]
+    # per-segment voxel key: segments are contiguous after the sort, so the
+    # key lives at each segment's first row — a k_max-sized gather instead
+    # of an N-sized scatter-max (TPU scatters serialize)
+    starts = jnp.nonzero(new_seg, size=k_max, fill_value=n)[0]
+    in_range = starts < n
+    safe = jnp.minimum(starts, n - 1)
+    seg_zyx = jnp.where(
+        in_range[:, None],
+        jnp.stack([z[safe], y[safe], x[safe]], axis=1),
+        _INT_MAX,
+    )
     occupied = mom["counts"] > 0
     seg_zyx = jnp.where(occupied[:, None], seg_zyx, _INT_MAX)
 
@@ -327,7 +332,8 @@ def _emit(state: NDTResult, n_out: int, prune_order: str = "ascending"):
 )
 def ndt_downsample(points, n_desired: int, mask=None, classes=None,
                    num_class_slots: int = 1, use_pallas: bool = False,
-                   prune_order: str = "ascending", search: str = "reference"):
+                   prune_order: str = "ascending", search: str = "reference",
+                   fixed_voxel_size=None):
     """Full NDT downsample of one cloud (ndt_downsample, ndt.c:119-222).
 
     Args:
@@ -339,6 +345,11 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
       search: "reference" follows the C bisection trajectory exactly
         (ndt.c:136-187); "fast" reaches the same acceptance band in ~2-5
         voxelizations via a seeded secant iteration (2-4x fewer sorts).
+      fixed_voxel_size: optional runtime scalar; skips the search entirely
+        (one voxelization) — for production streams where consecutive
+        clouds share statistics, reuse `state.voxel_size` from a previous
+        frame. The prune still trims to exactly n_desired when at least
+        n_desired voxels are occupied.
 
     Returns (pcl [n_desired,3], covs [n_desired,9], labels [n_desired] i32,
     out_mask [n_desired] bool, state: NDTResult).
@@ -352,10 +363,14 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
     k_max = max_segments(n_desired)
 
     mins, maxs = vx.pointcloud_limits(points, mask)
-    search_fn = (
-        _search_voxel_size_fast if search == "fast" else _search_voxel_size
-    )
-    voxel_size, converged = search_fn(points, mask, n_desired, mins, maxs)
+    if fixed_voxel_size is not None:
+        voxel_size = jnp.asarray(fixed_voxel_size, jnp.float32)
+        converged = jnp.array(True)
+    else:
+        search_fn = (
+            _search_voxel_size_fast if search == "fast" else _search_voxel_size
+        )
+        voxel_size, converged = search_fn(points, mask, n_desired, mins, maxs)
     state = _build_state(
         points, mask, classes, num_class_slots, voxel_size, converged,
         mins, maxs, k_max, use_pallas=use_pallas,

@@ -55,6 +55,15 @@ def test_fast_search_lands_in_band():
         assert int(out[3].sum()) == n_desired
 
 
+def test_fixed_voxel_size_skips_search():
+    pts = random_cloud(4000, extent=12.0, seed=4)
+    ref = ndt_downsample(jnp.asarray(pts), 32)
+    vs = ref[4].voxel_size
+    out = ndt_downsample(jnp.asarray(pts), 32, fixed_voxel_size=vs)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]), atol=1e-5)
+    assert int(out[3].sum()) == 32
+
+
 def test_degenerate_clouds():
     # all points identical -> 1 occupied voxel, zero covariance
     pts = jnp.broadcast_to(jnp.array([1.0, 2.0, 3.0]), (128, 3))
