@@ -96,6 +96,80 @@ def timed_throughput(fn_scalar, variables, batch_arr, iters, warmup=2):
     return (iters * batch_arr.shape[0]) / dt, dt / iters
 
 
+def bench_components(args):
+    """Time pipeline stages separately with on-device scan loops."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpu.core import ndt as nd
+    from ndtpu.core import voxel as vxm
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+    from ndtpu.models import NDTNetSegmentation
+
+    batch = jnp.asarray(make_batch(args.batch_size, args.n_samples))
+    M, C = args.n_desired_nds, args.n_classes
+
+    def scan_time(fn, *inputs, inner=4, iters=3):
+        @jax.jit
+        def repeat(*a):
+            def body(carry, _):
+                out = fn(*((a[0] + carry * 1e-20,) + a[1:]))
+                return jnp.sum(out), None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
+            return total
+
+        float(repeat(*inputs))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(repeat(*inputs))
+        return (time.perf_counter() - t0) / iters / inner
+
+    def search_only(pts):
+        def one(p):
+            m = jnp.ones(p.shape[:1], bool)
+            mins, maxs = vxm.pointcloud_limits(p, m)
+            fn = (nd._search_voxel_size_fast if args.search == "fast"
+                  else nd._search_voxel_size)
+            vs, _ = fn(p, m, M, mins, maxs)
+            return vs
+
+        return jax.vmap(one)(pts)
+
+    def preprocess_only(pts):
+        pcl, covs, _, _, _ = ndt_preprocessing_with_state(
+            M, pts, None, C, args.use_pallas, args.search
+        )
+        return pcl
+
+    model = NDTNetSegmentation(num_classes=C, feature_dim=args.feature_dim)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((args.batch_size, M, 3)),
+        jnp.zeros((args.batch_size, M, 9)), train=False,
+    )
+    pcl0, covs0, _, _, _ = ndt_preprocessing_with_state(
+        M, batch, None, C, args.use_pallas, args.search
+    )
+
+    def model_only(pcl, covs):
+        return model.apply(variables, pcl, covs, train=False, return_logits=True)
+
+    t_search = scan_time(search_only, batch)
+    t_prep = scan_time(preprocess_only, batch)
+    t_model = scan_time(model_only, pcl0, covs0)
+    print(
+        f"[bench] components per batch: search {t_search*1000:.2f} ms | "
+        f"full preprocess {t_prep*1000:.2f} ms | model {t_model*1000:.2f} ms",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "component_ms",
+        "search": round(t_search * 1000, 2),
+        "preprocess": round(t_prep * 1000, 2),
+        "model": round(t_model * 1000, 2),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n_desired_nds", type=int, default=1000)  # README.md:36
@@ -113,7 +187,13 @@ def main():
                         "~2-5 voxelizations; 'reference' follows the C "
                         "bisection trajectory")
     p.add_argument("--skip_cpu_baseline", action="store_true")
+    p.add_argument("--components", action="store_true",
+                   help="time search/preprocess/model separately")
     args = p.parse_args()
+
+    if args.components:
+        bench_components(args)
+        return
 
     import jax
 
