@@ -50,16 +50,25 @@ def adjugate3(m):
     return cof
 
 
-def gaussian_kl(mu_p, cov_p, mu_q, cov_q):
+def gaussian_kl(mu_p, cov_p, mu_q, cov_q, rel_eps: float = 1e-6):
     """Reference-formula KL for batched Gaussians.
 
     Returns (kl [...], defined [...]) where `defined` is False when either
     covariance is singular (reference's -2 return, kullback_leibler.c:66-78).
-    Sample-count gating is the caller's job.
+    Singularity uses a scale-aware threshold |det| > rel_eps * (tr/3)^3
+    rather than the reference's exact-zero compare: in floating point a
+    rank-deficient covariance yields a tiny *noise* determinant (the f64
+    reference included — its ==0 check almost never fires), and KL computed
+    from it is unstable garbage that breaks run-to-run determinism of the
+    prune ranking. Sample-count gating is the caller's job.
     """
     det_p = det3(cov_p)
     det_q = det3(cov_q)
-    defined = (det_p != 0.0) & (det_q != 0.0)
+    tr_p = jnp.trace(cov_p, axis1=-2, axis2=-1) / 3.0
+    tr_q = jnp.trace(cov_q, axis1=-2, axis2=-1) / 3.0
+    defined = (jnp.abs(det_p) > rel_eps * tr_p**3) & (
+        jnp.abs(det_q) > rel_eps * tr_q**3
+    )
     safe_det_q = jnp.where(det_q != 0.0, det_q, 1.0)
 
     q_inv = adjugate3(cov_q) / safe_det_q[..., None, None]

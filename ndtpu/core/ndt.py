@@ -95,15 +95,26 @@ def _voxel_keys(points, mask, voxel_size, mins, maxs):
     return key, coords, lens, offsets
 
 
+def _pack_zy(key, lens):
+    """Fuse the (z, y) key pair into one int32: zy = z*len_y + y.
+
+    Halves the variadic-sort comparator width. Exact whenever
+    len_z * len_y < 2^31 — grids beyond that would need the reference's
+    dense allocation to exceed ~10^14 bytes, i.e. strictly more permissive
+    than the C core. Invalid rows (z == INT32_MAX) stay INT32_MAX (real zy
+    values are < len_z*len_y << INT32_MAX).
+    """
+    zy = key[:, 0] * lens[1] + key[:, 1]
+    return jnp.where(key[:, 0] == _INT_MAX, _INT_MAX, zy)
+
+
 def _count_occupied(points, mask, voxel_size, mins, maxs):
     """Number of distinct occupied voxels at this voxel size."""
-    key, _, _, _ = _voxel_keys(points, mask, voxel_size, mins, maxs)
-    z, y, x = jax.lax.sort((key[:, 0], key[:, 1], key[:, 2]), num_keys=3)
-    valid = z != _INT_MAX
+    key, _, lens, _ = _voxel_keys(points, mask, voxel_size, mins, maxs)
+    zy, x = jax.lax.sort((_pack_zy(key, lens), key[:, 2]), num_keys=2)
+    valid = zy != _INT_MAX
     diff = jnp.ones_like(valid)
-    diff = diff.at[1:].set(
-        (z[1:] != z[:-1]) | (y[1:] != y[:-1]) | (x[1:] != x[:-1])
-    )
+    diff = diff.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
     return jnp.sum((valid & diff).astype(jnp.int32))
 
 
@@ -216,21 +227,22 @@ def _build_state(points, mask, classes, num_class_slots, voxel_size,
     n = points.shape[0]
     key, coords, lens, offsets = _voxel_keys(points, mask, voxel_size, mins, maxs)
 
-    # sort keys with a permutation payload, then gather points/classes —
-    # cheaper than dragging 4 extra f32/i32 operands through every pass of
-    # the bitonic sort
+    # sort fused (zy, x) keys with the original index as a tie-breaking
+    # THIRD key: duplicates get a total order, so downstream f32 segment
+    # sums accumulate in a fixed association order — bit-deterministic
+    # across shardings/layouts (payload-only permutations are not)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    z, y, x, perm = jax.lax.sort(
-        (key[:, 0], key[:, 1], key[:, 2], iota), num_keys=3
+    zy, x, perm = jax.lax.sort(
+        (_pack_zy(key, lens), key[:, 2], iota), num_keys=3
     )
+    valid_s = zy != _INT_MAX
+    z = jnp.where(valid_s, zy // lens[1], _INT_MAX)
+    y = jnp.where(valid_s, zy % lens[1], _INT_MAX)
     pts_s = points[perm]
     cls = classes.astype(jnp.int32)[perm]
-    valid_s = z != _INT_MAX
 
     new_seg = jnp.ones((n,), bool)
-    new_seg = new_seg.at[1:].set(
-        (z[1:] != z[:-1]) | (y[1:] != y[:-1]) | (x[1:] != x[:-1])
-    )
+    new_seg = new_seg.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
     new_seg &= valid_s
     seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # [N], -1 only if row0 invalid
     total = seg[-1] + 1  # distinct occupied voxels
