@@ -170,6 +170,39 @@ def bench_components(args):
     }))
 
 
+def bench_stress(args):
+    """The reference's C stress shape (ndt_downsample.c:5-13): one 90k-point
+    random cloud -> 24 NDs, the viz.py Hz protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpu.core.ndt import ndt_downsample
+    from ndtpu.data.synthetic import random_cloud
+
+    pts = jnp.asarray(random_cloud(90000, seed=0))
+
+    @jax.jit
+    def run(p):
+        pcl, covs, labels, mask, state = ndt_downsample(
+            p, 24, search=args.search
+        )
+        return jnp.sum(pcl) + jnp.sum(covs)
+
+    float(run(pts))
+    t0 = time.perf_counter()
+    iters = 10  # ndt_downsample.c:21 loops 10x
+    for _ in range(iters):
+        float(run(pts))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"Downsampling took {dt} seconds. ({1.0/dt} Hz)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "stress_90k_to_24_hz",
+        "value": round(1.0 / dt, 2),
+        "unit": "clouds/s",
+        "vs_baseline": None,
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n_desired_nds", type=int, default=1000)  # README.md:36
@@ -189,10 +222,15 @@ def main():
     p.add_argument("--skip_cpu_baseline", action="store_true")
     p.add_argument("--components", action="store_true",
                    help="time search/preprocess/model separately")
+    p.add_argument("--stress", action="store_true",
+                   help="run the 90k->24 C-harness stress shape instead")
     args = p.parse_args()
 
     if args.components:
         bench_components(args)
+        return
+    if args.stress:
+        bench_stress(args)
         return
 
     import jax
