@@ -40,7 +40,7 @@ def make_batch(batch, n_points, seed=0):
 
 
 def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas,
-                   search="fast"):
+                   search="fast", streaming=False):
     import jax
     import jax.numpy as jnp
 
@@ -55,29 +55,29 @@ def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas,
         train=False,
     )
 
-    @jax.jit
-    def pipeline(variables, points):
+    def pipeline(variables, points, sizes=None):
         pcl, covs, _, mask, _ = ndt_preprocessing_with_state(
-            n_desired, points, None, n_classes, use_pallas, search
+            n_desired, points, None, n_classes, use_pallas, search,
+            fixed_voxel_sizes=sizes if streaming else None,
         )
         return model.apply(
             variables, pcl, covs, train=False, return_logits=True
         )
 
     @jax.jit
-    def pipeline_scalar(variables, points):
+    def pipeline_scalar(variables, points, sizes=None):
         # scalar readback forces true completion: on the tunneled axon
         # backend block_until_ready returns before execution finishes,
         # so timing must fetch a value derived from the full output
-        return jnp.sum(pipeline(variables, points))
+        return jnp.sum(pipeline(variables, points, sizes))
 
     @functools.partial(jax.jit, static_argnames=("inner",))
-    def pipeline_repeat(variables, points, inner: int):
+    def pipeline_repeat(variables, points, inner: int, sizes=None):
         # on-device loop amortizes the ~25 ms tunnel round-trip out of the
         # measurement; the carry feeds back into the input so iterations
         # can't be CSE'd or elided
         def body(carry, _):
-            out = pipeline(variables, points + carry * 1e-20)
+            out = pipeline(variables, points + carry * 1e-20, sizes)
             return jnp.sum(out), None
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
@@ -224,6 +224,10 @@ def main():
                    help="time search/preprocess/model separately")
     p.add_argument("--stress", action="store_true",
                    help="run the 90k->24 C-harness stress shape instead")
+    p.add_argument("--streaming", action="store_true",
+                   help="streaming regime: voxel sizes searched once, then "
+                        "fixed for the timed loop (frame-stream production "
+                        "mode, one voxelization per cloud)")
     args = p.parse_args()
 
     if args.components:
@@ -244,24 +248,37 @@ def main():
 
     _, pipeline_scalar, pipeline_repeat, variables = build_pipeline(
         args.n_desired_nds, args.n_classes, args.feature_dim,
-        args.batch_size, args.use_pallas, args.search,
+        args.batch_size, args.use_pallas, args.search, args.streaming,
     )
     batch_dev = jnp.asarray(batch)
 
+    sizes = None
+    if args.streaming:
+        # one searched pass provides the per-cloud voxel sizes
+        from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+        _, _, _, _, st = ndt_preprocessing_with_state(
+            args.n_desired_nds, batch_dev, None, args.n_classes,
+            args.use_pallas, args.search,
+        )
+        sizes = st.voxel_size
+        print(f"[bench] streaming: voxel sizes fixed from a searched pass",
+              file=sys.stderr)
+
     # warmup/compile both programs
-    float(pipeline_scalar(variables, batch_dev))
-    float(pipeline_repeat(variables, batch_dev, args.inner))
+    float(pipeline_scalar(variables, batch_dev, sizes))
+    float(pipeline_repeat(variables, batch_dev, args.inner, sizes))
 
     # single-call path (includes tunnel RTT)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        float(pipeline_scalar(variables, batch_dev))
+        float(pipeline_scalar(variables, batch_dev, sizes))
     t_call = (time.perf_counter() - t0) / args.iters
 
     # on-device repeated path (amortizes RTT out)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        float(pipeline_repeat(variables, batch_dev, args.inner))
+        float(pipeline_repeat(variables, batch_dev, args.inner, sizes))
     t_inner = (time.perf_counter() - t0) / args.iters / args.inner
 
     tput = args.batch_size / t_inner

@@ -26,25 +26,44 @@ from ndtpu.core.ndt import ndt_downsample
 def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
                                  num_classes: int = 0,
                                  use_pallas: bool = False,
-                                 search: str = "reference"):
+                                 search: str = "reference",
+                                 fixed_voxel_sizes=None):
     """Like `ndt_preprocessing` but also returns (out_mask, NDTResult batch)
-    for multiscale models that prune mid-forward."""
-    slots = num_classes + 1
+    for multiscale models that prune mid-forward.
 
-    def one(p, cls):
-        return ndt_downsample(
-            p, num_nds, None, cls, num_class_slots=slots,
-            use_pallas=use_pallas, search=search,
-        )
+    fixed_voxel_sizes: optional [B] f32 — skips the per-cloud voxel-size
+    search entirely (one voxelization per cloud). For streaming workloads
+    where consecutive frames share statistics, feed back
+    ``state.voxel_size`` from an earlier batch.
+    """
+    slots = num_classes + 1
 
     if classes_onehot is not None:
         tags = jnp.argmax(classes_onehot, axis=-1).astype(jnp.int32)
     else:
         tags = jnp.zeros(points.shape[:2], jnp.int32)
 
-    pcl, covs, labels, mask, state = jax.vmap(one)(
-        points.astype(jnp.float32), tags
-    )
+    if fixed_voxel_sizes is None:
+        def one(p, cls):
+            return ndt_downsample(
+                p, num_nds, None, cls, num_class_slots=slots,
+                use_pallas=use_pallas, search=search,
+            )
+
+        pcl, covs, labels, mask, state = jax.vmap(one)(
+            points.astype(jnp.float32), tags
+        )
+    else:
+        def one_fixed(p, cls, vs):
+            return ndt_downsample(
+                p, num_nds, None, cls, num_class_slots=slots,
+                use_pallas=use_pallas, search=search, fixed_voxel_size=vs,
+            )
+
+        pcl, covs, labels, mask, state = jax.vmap(one_fixed)(
+            points.astype(jnp.float32), tags,
+            jnp.asarray(fixed_voxel_sizes, jnp.float32),
+        )
     pcl = jnp.nan_to_num(pcl, nan=0.0, posinf=0.0, neginf=0.0)
     covs = jnp.nan_to_num(covs, nan=0.0, posinf=0.0, neginf=0.0)
     onehot = jax.nn.one_hot(labels, slots, dtype=jnp.float32)
