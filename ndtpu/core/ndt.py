@@ -437,6 +437,13 @@ class NDTSampler:
     def prune(self, num_desired_nds: int):
         if self._state is None:
             raise RuntimeError("call downsample() before prune()")
+        if int(num_desired_nds) > int(self._state.num_valid):
+            # reference parity: prune_nds errors when the target exceeds the
+            # valid count (ndt.c:36-39 / core/ndt.py:53-54)
+            raise ValueError(
+                "Number of desired normal distributions is greater than the "
+                "number of valid distributions!"
+            )
         pcl, covs, labels, mask = ndt_prune(self._state, int(num_desired_nds))
         import numpy as np
 
