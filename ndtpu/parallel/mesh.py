@@ -37,6 +37,17 @@ def make_mesh(axes: Sequence[str] = ("data",),
     return Mesh(devices.reshape(tuple(shape)), tuple(axes))
 
 
+def make_data_mesh(batch_size: int, axis: str = "data",
+                   devices=None) -> Mesh:
+    """1-D data mesh over the largest device count that divides the batch
+    (a 2-cloud debug batch on an 8-chip host shouldn't crash the trainer)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis,))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard dim 0 (batch) over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(axis))

@@ -146,6 +146,19 @@ def test_ndtnetpp_heads():
     np.testing.assert_allclose(np.asarray(seg.sum(-1)), 1.0, rtol=1e-4)
 
 
+def test_bfloat16_compute_dtype():
+    """Models accept a compute dtype (bf16 on the MXU); params stay f32."""
+    pts = jax.random.normal(KEY, (B, N, 3))
+    covs = jax.random.normal(jax.random.PRNGKey(1), (B, N, 9))
+    model = NDTNetSegmentation(num_classes=C, feature_dim=32, dtype=jnp.bfloat16)
+    variables = model.init(KEY, pts, covs)
+    out = model.apply(variables, pts, covs)
+    assert out.dtype == jnp.bfloat16
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_batchnorm_train_mode_updates_stats():
     x = jax.random.normal(KEY, (4, N, 3)) * 5.0
     model = PointNet(feature_dim=32)

@@ -27,7 +27,7 @@ import optax
 from tools._common import make_dataset
 from ndtpu.data.loader import batch_iterator, prefetch_to_device
 from ndtpu.models import NDTNetClassification, NDTNetSegmentation
-from ndtpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from ndtpu.parallel.mesh import batch_sharding, make_data_mesh, replicate
 from ndtpu.train.config import TrainConfig
 from ndtpu.train.loop import make_classification_step, make_lr_schedule, make_ndt_seg_step
 from ndtpu.train.metrics import MetricLogger
@@ -122,7 +122,7 @@ def main():
         state = restore_checkpoint(state, cfg.resume)
         print(f"resumed from {cfg.resume} at step {int(state.step)}")
 
-    mesh = make_mesh((cfg.data_axis,))
+    mesh = make_data_mesh(cfg.batch_size, cfg.data_axis)
     state = replicate(mesh, state)
     sharding = batch_sharding(mesh, cfg.data_axis)
 

@@ -16,7 +16,7 @@ from tools._common import make_dataset
 from tools.train import run_epoch
 from ndtpu.data.loader import batch_iterator, prefetch_to_device
 from ndtpu.models import PointNetSegmentation
-from ndtpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from ndtpu.parallel.mesh import batch_sharding, make_data_mesh, replicate
 from ndtpu.train.config import TrainConfig
 from ndtpu.train.loop import make_lr_schedule, make_pointnet_seg_step
 from ndtpu.train.metrics import MetricLogger
@@ -49,7 +49,7 @@ def main():
     if cfg.resume:
         state = restore_checkpoint(state, cfg.resume)
 
-    mesh = make_mesh((cfg.data_axis,))
+    mesh = make_data_mesh(cfg.batch_size, cfg.data_axis)
     state = replicate(mesh, state)
     sharding = batch_sharding(mesh, cfg.data_axis)
     step_fn, eval_fn = make_pointnet_seg_step()
