@@ -38,7 +38,7 @@ class TrainConfig:
     wandb: bool = False                   # optional, host-0 only
     wandb_project: str = "ndnet"
     param_dtype: str = "float32"
-    compute_dtype: str = "bfloat16"
+    compute_dtype: str = "float32"  # set bfloat16 for MXU-native compute
     data_axis: str = "data"
     seed: int = 0
     steps_per_epoch: Optional[int] = None  # derived from dataset when None

@@ -103,12 +103,14 @@ def main():
 
     if "classification" in cfg.task:
         model = NDTNetClassification(
-            num_classes=cfg.n_classes, feature_dim=cfg.feature_dim
+            num_classes=cfg.n_classes, feature_dim=cfg.feature_dim,
+            dtype=jnp.dtype(cfg.compute_dtype),
         )
         step_fn, eval_fn = make_classification_step(cfg.n_desired_nds, cfg.n_classes)
     else:
         model = NDTNetSegmentation(
-            num_classes=cfg.n_classes, feature_dim=cfg.feature_dim
+            num_classes=cfg.n_classes, feature_dim=cfg.feature_dim,
+            dtype=jnp.dtype(cfg.compute_dtype),
         )
         step_fn, eval_fn = make_ndt_seg_step(cfg.n_desired_nds, cfg.n_classes)
 

@@ -47,7 +47,7 @@ def main():
     )
     model = NDTNetPPSegmentation(
         num_classes=cfg.n_classes, fine_res=fine, coarse_res=coarse,
-        feature_dim=cfg.feature_dim,
+        feature_dim=cfg.feature_dim, dtype=jnp.dtype(cfg.compute_dtype),
     )
     step_fn, eval_fn = make_multiscale_seg_step(fine, coarse, cfg.n_classes)
 

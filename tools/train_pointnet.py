@@ -39,7 +39,8 @@ def main():
                          cfg.lr_decay_epochs, cfg.lr_decay_rate)
     )
     model = PointNetSegmentation(
-        num_classes=cfg.n_classes, feature_dim=cfg.feature_dim
+        num_classes=cfg.n_classes, feature_dim=cfg.feature_dim,
+        dtype=jnp.dtype(cfg.compute_dtype),
     )
     state = create_train_state(
         model, tx, jax.random.PRNGKey(cfg.seed),
