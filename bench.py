@@ -40,14 +40,19 @@ def make_batch(batch, n_points, seed=0):
 
 
 def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas,
-                   search="fast", streaming=False):
+                   search="fast", streaming=False, dtype="f32"):
     import jax
     import jax.numpy as jnp
 
     from ndtpu.models import NDTNetSegmentation
     from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
 
-    model = NDTNetSegmentation(num_classes=n_classes, feature_dim=feature_dim)
+    # bf16 runs the model's matmuls on the MXU at twice the f32 rate; the
+    # NDT preprocessing stays f32 (covariance accumulation needs it)
+    compute_dtype = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    model = NDTNetSegmentation(
+        num_classes=n_classes, feature_dim=feature_dim, dtype=compute_dtype
+    )
     variables = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((batch, n_desired, 3)),
@@ -69,7 +74,7 @@ def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas,
         # scalar readback forces true completion: on the tunneled axon
         # backend block_until_ready returns before execution finishes,
         # so timing must fetch a value derived from the full output
-        return jnp.sum(pipeline(variables, points, sizes))
+        return jnp.sum(pipeline(variables, points, sizes).astype(jnp.float32))
 
     @functools.partial(jax.jit, static_argnames=("inner",))
     def pipeline_repeat(variables, points, inner: int, sizes=None):
@@ -78,7 +83,7 @@ def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas,
         # can't be CSE'd or elided
         def body(carry, _):
             out = pipeline(variables, points + carry * 1e-20, sizes)
-            return jnp.sum(out), None
+            return jnp.sum(out.astype(jnp.float32)), None
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
         return total
@@ -219,6 +224,9 @@ def main():
                    help="'fast' hits the same [n, 1.2n] acceptance band in "
                         "~2-5 voxelizations; 'reference' follows the C "
                         "bisection trajectory")
+    p.add_argument("--dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="model compute dtype (preprocessing stays f32)")
     p.add_argument("--skip_cpu_baseline", action="store_true")
     p.add_argument("--components", action="store_true",
                    help="time search/preprocess/model separately")
@@ -249,6 +257,7 @@ def main():
     _, pipeline_scalar, pipeline_repeat, variables = build_pipeline(
         args.n_desired_nds, args.n_classes, args.feature_dim,
         args.batch_size, args.use_pallas, args.search, args.streaming,
+        args.dtype,
     )
     batch_dev = jnp.asarray(batch)
 

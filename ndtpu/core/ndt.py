@@ -260,8 +260,17 @@ def _build_state(points, mask, classes, num_class_slots, voxel_size,
     )
     # per-segment voxel key: segments are contiguous after the sort, so the
     # key lives at each segment's first row — a k_max-sized gather instead
-    # of an N-sized scatter-max (TPU scatters serialize)
-    starts = jnp.nonzero(new_seg, size=k_max, fill_value=n)[0]
+    # of an N-sized scatter-max (TPU scatters serialize). Boundary positions
+    # come from sorting masked iotas (jnp.nonzero(size=) would lower to
+    # another N-sized scatter): rows where new_seg holds keep their ascending
+    # position, others sink to n, so the first k_max sorted values are
+    # exactly the segment starts.
+    masked_iota = jnp.where(new_seg, iota, n)
+    if k_max > n:  # static shapes: pad so the slice below is always full
+        masked_iota = jnp.concatenate(
+            [masked_iota, jnp.full((k_max - n,), n, jnp.int32)]
+        )
+    starts = jax.lax.sort(masked_iota)[:k_max]
     in_range = starts < n
     safe = jnp.minimum(starts, n - 1)
     seg_zyx = jnp.where(
@@ -319,7 +328,9 @@ def _emit(state: NDTResult, n_out: int, prune_order: str = "ascending"):
     else:
         key = jnp.where(occupied, state.min_kl, jnp.inf)
     order = jnp.argsort(key, stable=True)
-    rank = jnp.zeros((k,), jnp.int32).at[order].set(jnp.arange(k, dtype=jnp.int32))
+    # rank = inverse permutation of order; argsort of a permutation IS its
+    # inverse (avoids a scatter, which serializes on TPU)
+    rank = jnp.argsort(order).astype(jnp.int32)
     removed = occupied & (rank < to_remove)
     keep = occupied & ~removed
 

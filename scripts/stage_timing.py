@@ -1,0 +1,145 @@
+"""Fine-grained timing of the NDT build_state sub-stages on the current
+device. Each stage is timed with the on-device scan protocol from bench.py
+(scalar readback; see CLAUDE.md for why block_until_ready can't be trusted
+on the tunneled backend).
+
+Stages (cumulative structure of ndtpu/core/ndt.py::_build_state):
+  sort      — voxel keys + 3-key lexicographic sort + payload gathers
+  moments   — + segment boundary detection, segment_sum, finalize
+  kl        — + 6-neighbor lexicographic search + closed-form KL
+  emit      — + prune ranking and compaction (the full downsample)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_samples", type=int, default=70000)
+    p.add_argument("--n_desired_nds", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--n_classes", type=int, default=28)
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--inner", type=int, default=4)
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import make_batch
+    from ndtpu.core import ndt as nd
+    from ndtpu.core import voxel as vx
+    from ndtpu.core.kl import neighbor_min_kl
+    from ndtpu.core.moments import finalize_moments, segment_moments
+
+    M, C = args.n_desired_nds, args.n_classes + 1
+    k_max = nd.max_segments(M)
+    pts = jnp.asarray(make_batch(args.batch_size, args.n_samples))
+
+    def scan_time(fn, *inputs):
+        @jax.jit
+        def repeat(*a):
+            def body(carry, _):
+                out = fn(*((a[0] + carry * 1e-20,) + a[1:]))
+                return jnp.sum(out), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.float32(0.0), None, length=args.inner
+            )
+            return total
+
+        float(repeat(*inputs))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            float(repeat(*inputs))
+        return (time.perf_counter() - t0) / args.iters / args.inner
+
+    def prefix(stage):
+        def one(p):
+            n = p.shape[0]
+            mask = jnp.ones((n,), bool)
+            classes = jnp.zeros((n,), jnp.int32)
+            mins, maxs = vx.pointcloud_limits(p, mask)
+            vs, _ = nd._search_voxel_size_fast(p, mask, M, mins, maxs)
+
+            key, coords, lens, offsets = nd._voxel_keys(p, mask, vs, mins, maxs)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+            zy, x, perm = jax.lax.sort(
+                (nd._pack_zy(key, lens), key[:, 2], iota), num_keys=3
+            )
+            valid_s = zy != nd._INT_MAX
+            z = jnp.where(valid_s, zy // lens[1], nd._INT_MAX)
+            y = jnp.where(valid_s, zy % lens[1], nd._INT_MAX)
+            pts_s = p[perm]
+            cls = classes[perm]
+            if stage == "sort":
+                return jnp.sum(pts_s) + jnp.sum(zy)
+
+            new_seg = jnp.ones((n,), bool)
+            new_seg = new_seg.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
+            new_seg &= valid_s
+            seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+            seg = jnp.where(valid_s & (seg < k_max) & (seg >= 0), seg, k_max)
+            xyz_s = jnp.stack([x, y, z], axis=1)
+            centers = vx.voxel_to_metric_space(
+                jnp.where(valid_s[:, None], xyz_s, 0), vs, offsets
+            )
+            mom = segment_moments(
+                pts_s, centers, seg, k_max, valid=valid_s,
+                classes=cls, num_class_slots=C, use_pallas=args.use_pallas,
+            )
+            masked_iota = jnp.where(new_seg, iota, n)
+            starts = jax.lax.sort(masked_iota)[:k_max]
+            in_range = starts < n
+            safe = jnp.minimum(starts, n - 1)
+            seg_zyx = jnp.where(
+                in_range[:, None],
+                jnp.stack([z[safe], y[safe], x[safe]], axis=1),
+                nd._INT_MAX,
+            )
+            occupied = mom["counts"] > 0
+            seg_zyx = jnp.where(occupied[:, None], seg_zyx, nd._INT_MAX)
+            seg_centers = vx.voxel_to_metric_space(
+                jnp.where(occupied[:, None], seg_zyx[:, ::-1], 0), vs, offsets
+            )
+            means, covs = finalize_moments(
+                mom["counts"], mom["sum_shift"], mom["sum_outer"], seg_centers
+            )
+            if stage == "moments":
+                return jnp.sum(means) + jnp.sum(covs)
+
+            min_kl, _ = neighbor_min_kl(
+                means, covs, mom["counts"], seg_zyx, lens
+            )
+            if stage == "kl":
+                return jnp.sum(jnp.where(jnp.isfinite(min_kl), min_kl, 0.0))
+
+            pcl, cv, labels, mask_out, _ = nd.ndt_downsample(
+                p, M, num_class_slots=C, use_pallas=args.use_pallas,
+                search="fast",
+            )
+            return jnp.sum(pcl) + jnp.sum(cv)
+
+        return jax.jit(jax.vmap(one))
+
+    results = {}
+    for stage in ["sort", "moments", "kl", "emit"]:
+        t = scan_time(prefix(stage), pts)
+        results[stage] = round(t * 1000, 2)
+        print(f"[stage] {stage}: {t*1000:.2f} ms/batch", file=sys.stderr)
+
+    print(json.dumps({"metric": "stage_ms_cumulative", **results}))
+
+
+if __name__ == "__main__":
+    main()

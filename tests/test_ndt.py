@@ -234,3 +234,15 @@ def test_sampler_wrapper_api():
 
 def test_max_segments_band():
     assert max_segments(1000) >= 1200
+
+
+def test_n_desired_exceeding_cloud_size():
+    # k_max > N: the segment-start extraction must keep its static k_max
+    # shape even when the cloud has fewer points than the ND capacity
+    pts = jnp.asarray(CUBE16)  # 16 points, n_desired=16 -> k_max=27 > 16
+    pcl, covs, labels, mask, state = ndt_downsample(pts, 16)
+    assert pcl.shape == (16, 3)
+    assert int(mask.sum()) <= 16
+    # every emitted ND is one of the occupied voxels (all 16 points distinct)
+    kept = np.asarray(pcl)[np.asarray(mask)]
+    assert kept.shape[0] == int(state.num_valid) or kept.shape[0] == 16
