@@ -20,9 +20,8 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
-
-from ndtpu.core import voxel as vx
 
 
 def det3(m):
@@ -123,6 +122,16 @@ def lex_search(sorted_keys, queries):
     return idx, found
 
 
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _pack_pair(a, b, b_span):
+    """Fuse (a, b) into a*b_span + b, preserving INT32_MAX padding. Exact
+    whenever the two grid dims multiply below 2^31 — the same (generous)
+    headroom argument as ndt._pack_zy."""
+    return jnp.where(a == _INT32_MAX, _INT32_MAX, a * b_span + b)
+
+
 def neighbor_min_kl(means, covs, counts, zyx, lens):
     """Per-segment minimum AND maximum KL to its 6-connected occupied
     neighbors.
@@ -134,11 +143,19 @@ def neighbor_min_kl(means, covs, counts, zyx, lens):
     order, and a p's first appearance is its minimum divergence — so ranking
     segments by min KL reproduces the prune semantics with no serial loop.
 
+    Neighbor pairing is adjacency in sorted key space, not search: the rows
+    are lexicographically (z, y, x)-sorted, so ±x neighbors are *adjacent
+    rows* with equal (z, y) and x differing by one; re-sorting the K keys by
+    (z, x, y) and (y, x, z) — two K-row sorts, K = max NDs, not N points —
+    exposes ±y and ±z the same way. This replaces the per-neighbor
+    lexicographic binary search (12 dependent gather rounds, latency-bound
+    on TPU) with three tiny sorts and shifted compares.
+
     Args:
       means [K, 3], covs [K, 3, 3], counts [K] int32.
       zyx   [K, 3] int32 voxel coords as (z, y, x), lexicographically sorted,
             INT32_MAX padding.
-      lens  [3] int32 grid dims (x, y, z).
+      lens  [3] i32 grid dims (x, y, z).
 
     Returns (min_kl [K], max_kl [K]) f32 (inf / -inf where the segment has
     no valid pair). min_kl drives the documented-intent ascending prune;
@@ -147,30 +164,55 @@ def neighbor_min_kl(means, covs, counts, zyx, lens):
     kept available for bit-level behavioral comparison).
     """
     k = means.shape[0]
-    # neighbor voxel coords for each segment, in (z, y, x) key order
-    xyz = zyx[:, ::-1]
-    npos = xyz[:, None, :] + vx.NEIGHBOR_OFFSETS[None, :, :]  # [K, 6, 3]
-    in_grid = jnp.all((npos >= 0) & (npos < lens), axis=-1)  # [K, 6]
-    nzyx = npos[..., ::-1].reshape(k * 6, 3)
+    if k < 2:
+        return jnp.full((k,), jnp.inf), jnp.full((k,), -jnp.inf)
+    z, y, x = zyx[:, 0], zyx[:, 1], zyx[:, 2]
+    idx = jnp.arange(k, dtype=jnp.int32)
 
-    nidx, found = lex_search(zyx, nzyx)
-    nidx = nidx.reshape(k, 6)
-    found = found.reshape(k, 6) & in_grid
+    def axis_contrib(major, minor, perm):
+        """Adjacent-row pairs in one sorted order.
 
-    mu_q = means[nidx]  # [K, 6, 3]
-    cov_q = covs[nidx]
-    cnt_q = counts[nidx]
+        major/minor: the sorted packed key and the fastest-varying coord;
+        perm: segment id per sorted row. Pair i = (perm[i], perm[i+1]) is a
+        real grid neighbor iff majors match and minors differ by one. Each
+        ordered direction is one gaussian_kl; contributions land back in
+        segment space by inverse-permutation *gather* (no scatter).
+        """
+        adj = (
+            (major[:-1] == major[1:])
+            & (major[:-1] != _INT32_MAX)
+            & (minor[1:] == minor[:-1] + 1)
+        )
+        a, b = perm[:-1], perm[1:]
+        # sample gating: both sides need > 1 sample (kullback_leibler.c:42-45)
+        ok = adj & (counts[a] > 1) & (counts[b] > 1)
+        kl_ab, def_ab = gaussian_kl(means[a], covs[a], means[b], covs[b])
+        kl_ba, def_ba = gaussian_kl(means[b], covs[b], means[a], covs[a])
+        ok_ab = ok & def_ab
+        ok_ba = ok & def_ba
+        inf = jnp.float32(jnp.inf)
+        # sorted-row i's segment perm[i] sees pair i as p (forward) and
+        # pair i-1 as p (backward)
+        mn = jnp.minimum(
+            jnp.concatenate([jnp.where(ok_ab, kl_ab, inf), inf[None]]),
+            jnp.concatenate([inf[None], jnp.where(ok_ba, kl_ba, inf)]),
+        )
+        mx = jnp.maximum(
+            jnp.concatenate([jnp.where(ok_ab, kl_ab, -inf), -inf[None]]),
+            jnp.concatenate([-inf[None], jnp.where(ok_ba, kl_ba, -inf)]),
+        )
+        inv = jnp.argsort(perm).astype(jnp.int32)  # segment -> sorted row
+        return mn[inv], mx[inv]
 
-    kl, defined = gaussian_kl(
-        means[:, None, :], covs[:, None, :, :], mu_q, cov_q
-    )
-    # sample gating: both sides need > 1 sample (kullback_leibler.c:42-45)
-    pair_ok = (
-        found
-        & defined
-        & (counts[:, None] > 1)
-        & (cnt_q > 1)
-    )
-    min_kl = jnp.min(jnp.where(pair_ok, kl, jnp.inf), axis=1)
-    max_kl = jnp.max(jnp.where(pair_ok, kl, -jnp.inf), axis=1)
+    # ±x: rows already sorted by (z, y, x) — adjacency is free
+    mn_x, mx_x = axis_contrib(_pack_pair(z, y, lens[1]), x, idx)
+    # ±y: re-sort by (z, x, y); idx is both tie-break key and payload
+    zx, ys, py = jax.lax.sort((_pack_pair(z, x, lens[0]), y, idx), num_keys=3)
+    mn_y, mx_y = axis_contrib(zx, ys, py)
+    # ±z: re-sort by (y, x, z)
+    yx, zs, pz = jax.lax.sort((_pack_pair(y, x, lens[0]), z, idx), num_keys=3)
+    mn_z, mx_z = axis_contrib(yx, zs, pz)
+
+    min_kl = jnp.minimum(jnp.minimum(mn_x, mn_y), mn_z)
+    max_kl = jnp.maximum(jnp.maximum(mx_x, mx_y), mx_z)
     return min_kl, max_kl

@@ -266,11 +266,13 @@ def _build_state(points, mask, classes, num_class_slots, voxel_size,
     # position, others sink to n, so the first k_max sorted values are
     # exactly the segment starts.
     masked_iota = jnp.where(new_seg, iota, n)
-    if k_max > n:  # static shapes: pad so the slice below is always full
+    if k_max > n:  # static shapes: pad so top_k below is always full
         masked_iota = jnp.concatenate(
             [masked_iota, jnp.full((k_max - n,), n, jnp.int32)]
         )
-    starts = jax.lax.sort(masked_iota)[:k_max]
+    # k_max smallest masked iotas in ascending order = the segment starts;
+    # top_k is O(N log k) vs a full O(N log^2 N) sort pass
+    starts = -jax.lax.top_k(-masked_iota, k_max)[0]
     in_range = starts < n
     safe = jnp.minimum(starts, n - 1)
     seg_zyx = jnp.where(

@@ -124,12 +124,20 @@ def _make_fn(num_segments: int, block_n: int):
     return f
 
 
-def segment_sum_sorted(feats, seg_ids, num_segments: int, block_n: int = 512):
+def segment_sum_sorted(feats, seg_ids, num_segments: int,
+                       block_n: int | None = None):
     """Segment-sum of `feats` [..., N, F] by dense sorted rank `seg_ids`
     [..., N] into [..., num_segments, F]. Ids must be non-decreasing with
     unit steps (see module docstring); ids >= num_segments are dropped.
     Matches jax.ops.segment_sum(indices_are_sorted=True) under that
-    precondition, and vmaps (one fused kernel call for the whole batch)."""
+    precondition, and vmaps (one fused kernel call for the whole batch).
+
+    block_n trades onehot-matmul FLOPs (block_n^2 * F per block) against
+    grid-step count; overridable via NDTPU_PALLAS_BLOCK for tuning."""
+    if block_n is None:
+        import os
+
+        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "512"))
     n = feats.shape[-2]
     block_n = min(block_n, max(8, ((n + 7) // 8) * 8))
     fn = _make_fn(int(num_segments), int(block_n))

@@ -31,6 +31,8 @@ def main():
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--inner", type=int, default=4)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--stages", type=str, default="sort,moments,kl,emit",
+                   help="comma-separated subset of sort,moments,kl,emit")
     args = p.parse_args()
 
     import jax
@@ -98,6 +100,8 @@ def main():
                 pts_s, centers, seg, k_max, valid=valid_s,
                 classes=cls, num_class_slots=C, use_pallas=args.use_pallas,
             )
+            if stage == "segsum":
+                return jnp.sum(mom["sum_outer"]) + jnp.sum(mom["sum_shift"])
             masked_iota = jnp.where(new_seg, iota, n)
             starts = jax.lax.sort(masked_iota)[:k_max]
             in_range = starts < n
@@ -133,7 +137,7 @@ def main():
         return jax.jit(jax.vmap(one))
 
     results = {}
-    for stage in ["sort", "moments", "kl", "emit"]:
+    for stage in args.stages.split(","):
         t = scan_time(prefix(stage), pts)
         results[stage] = round(t * 1000, 2)
         print(f"[stage] {stage}: {t*1000:.2f} ms/batch", file=sys.stderr)

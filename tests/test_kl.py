@@ -118,3 +118,69 @@ def test_neighbor_min_kl_sample_gating():
     min_kl, max_kl = neighbor_min_kl(means, covs, counts, zyx, lens)
     assert np.isinf(np.asarray(min_kl)).all()
     assert np.isinf(np.asarray(max_kl)).all()
+
+
+def test_neighbor_min_kl_random_grid_vs_bruteforce():
+    """Randomized occupied grids: the sorted-adjacency pairing must agree
+    with a brute-force 6-neighbor oracle (f64 NumPy) on every segment."""
+    rng = np.random.default_rng(7)
+    big = np.iinfo(np.int32).max
+    for trial in range(4):
+        lens_np = rng.integers(2, 5, size=3)  # (len_x, len_y, len_z)
+        all_cells = np.array(
+            [
+                (z, y, x)
+                for z in range(lens_np[2])
+                for y in range(lens_np[1])
+                for x in range(lens_np[0])
+            ],
+            dtype=np.int32,
+        )
+        occ = rng.random(len(all_cells)) < 0.5
+        occ_zyx = all_cells[occ]
+        kk = len(occ_zyx)
+        if kk < 2:
+            continue
+        k = kk + 3  # padding rows
+        zyx = np.full((k, 3), big, np.int32)
+        zyx[:kk] = occ_zyx  # all_cells is already lexicographic
+        means = rng.normal(size=(k, 3)).astype(np.float32)
+        covs = np.stack([random_spd(rng) * 0.1 for _ in range(k)]).astype(
+            np.float32
+        )
+        counts = np.zeros(k, np.int32)
+        counts[:kk] = rng.integers(2, 20, size=kk)
+        counts[0] = 1  # exercise the sample gate
+
+        min_kl, max_kl = neighbor_min_kl(
+            jnp.asarray(means), jnp.asarray(covs), jnp.asarray(counts),
+            jnp.asarray(zyx), jnp.asarray(lens_np, jnp.int32),
+        )
+        min_kl, max_kl = np.asarray(min_kl), np.asarray(max_kl)
+
+        index = {tuple(c): i for i, c in enumerate(occ_zyx)}
+        for i, (z, y, x) in enumerate(occ_zyx):
+            vals = []
+            for dz, dy, dx in [(0, 0, 1), (0, 0, -1), (0, 1, 0),
+                               (0, -1, 0), (1, 0, 0), (-1, 0, 0)]:
+                j = index.get((z + dz, y + dy, x + dx))
+                if j is None or counts[i] <= 1 or counts[j] <= 1:
+                    continue
+                vals.append(
+                    reference_kl(
+                        means[i].astype(np.float64), covs[i].astype(np.float64),
+                        means[j].astype(np.float64), covs[j].astype(np.float64),
+                    )
+                )
+            if vals:
+                np.testing.assert_allclose(
+                    min_kl[i], min(vals), rtol=2e-3, atol=1e-4,
+                    err_msg=f"trial {trial} seg {i} min",
+                )
+                np.testing.assert_allclose(
+                    max_kl[i], max(vals), rtol=2e-3, atol=1e-4,
+                    err_msg=f"trial {trial} seg {i} max",
+                )
+            else:
+                assert np.isposinf(min_kl[i]) and np.isneginf(max_kl[i])
+        assert np.isposinf(min_kl[kk:]).all()
