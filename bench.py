@@ -136,7 +136,7 @@ def bench_components(args):
             mins, maxs = vxm.pointcloud_limits(p, m)
             fn = (nd._search_voxel_size_fast if args.search == "fast"
                   else nd._search_voxel_size)
-            vs, _ = fn(p, m, M, mins, maxs)
+            vs, _ = fn(p[:, 0], p[:, 1], p[:, 2], m, M, mins, maxs)
             return vs
 
         return jax.vmap(one)(pts)
@@ -218,7 +218,10 @@ def main():
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--inner", type=int, default=8)
     p.add_argument("--cpu_iters", type=int, default=1)
-    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--use_pallas", action="store_true", default=None,
+                   help="force the Pallas segment-sum kernel (default: auto "
+                        "— on when the first device is a TPU)")
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--search", type=str, default="fast",
                    choices=["fast", "reference"],
                    help="'fast' hits the same [n, 1.2n] acceptance band in "
@@ -237,6 +240,15 @@ def main():
                         "fixed for the timed loop (frame-stream production "
                         "mode, one voxelization per cloud)")
     args = p.parse_args()
+
+    if args.use_pallas is None:
+        import jax
+
+        args.use_pallas = jax.devices()[0].platform.startswith("tpu") or (
+            jax.devices()[0].platform == "axon"
+        )
+        print(f"[bench] pallas segment-sum: {args.use_pallas} (auto)",
+              file=sys.stderr)
 
     if args.components:
         bench_components(args)

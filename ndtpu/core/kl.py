@@ -128,7 +128,7 @@ _INT32_MAX = jnp.iinfo(jnp.int32).max
 def _pack_pair(a, b, b_span):
     """Fuse (a, b) into a*b_span + b, preserving INT32_MAX padding. Exact
     whenever the two grid dims multiply below 2^31 — the same (generous)
-    headroom argument as ndt._pack_zy."""
+    headroom argument as the zy key fusion in ndt._voxel_keys."""
     return jnp.where(a == _INT32_MAX, _INT32_MAX, a * b_span + b)
 
 

@@ -81,6 +81,57 @@ def segment_moments(points, centers, seg_ids, num_segments, valid=None,
     return out
 
 
+def segment_moments_soa(xt, yt, zt, v, seg_ids, num_segments, classes=None,
+                        num_class_slots=0, use_pallas=False):
+    """Structure-of-arrays variant of `segment_moments` for the NDT hot path.
+
+    TPU lays narrow 2-D arrays out 128-lanes wide, so an [N, 42] feature
+    matrix costs the HBM bandwidth of [N, 128]; 1-D component arrays pack
+    tightly. This entry takes the shifted coordinates as three [N] vectors
+    (pre-masked: invalid rows must already be zero), the validity as a f32
+    [N] vector, and builds the 13(+C)-wide feature rows inside the Pallas
+    kernel (never materializing them in HBM). The XLA fallback materializes
+    the same columns and matches `segment_moments` bit for bit.
+
+    Returns the same dict contract as `segment_moments`.
+    """
+    if use_pallas:
+        from ndtpu.ops.pallas.segment_moments import fused_moments_sorted
+
+        cls = classes if classes is not None else jnp.zeros_like(seg_ids)
+        acc = fused_moments_sorted(
+            xt, yt, zt, v, cls.astype(jnp.int32), seg_ids,
+            num_segments + 1,
+            num_class_slots if classes is not None else 0,
+        )
+    else:
+        cols = [
+            v, xt, yt, zt,
+            xt * xt, xt * yt, xt * zt,
+            yt * xt, yt * yt, yt * zt,
+            zt * xt, zt * yt, zt * zt,
+        ]
+        if classes is not None:
+            cols += [
+                v * (classes == c) for c in range(num_class_slots)
+            ]
+        feats = jnp.stack(cols, axis=1)
+        acc = jax.ops.segment_sum(
+            feats, seg_ids, num_segments=num_segments + 1,
+            indices_are_sorted=True,
+        )
+    acc = acc[:num_segments]
+
+    out = {
+        "counts": jnp.round(acc[:, 0]).astype(jnp.int32),
+        "sum_shift": acc[:, 1:4],
+        "sum_outer": acc[:, 4:13].reshape(num_segments, 3, 3),
+    }
+    if classes is not None:
+        out["class_hist"] = jnp.round(acc[:, 13:]).astype(jnp.int32)
+    return out
+
+
 def finalize_moments(counts, sum_shift, sum_outer, seg_centers):
     """Turn accumulated moments into (mean, covariance).
 

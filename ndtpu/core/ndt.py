@@ -47,7 +47,7 @@ from flax import struct
 
 from ndtpu.core import voxel as vx
 from ndtpu.core.kl import neighbor_min_kl
-from ndtpu.core.moments import finalize_moments, segment_moments
+from ndtpu.core.moments import finalize_moments, segment_moments_soa
 
 # Reference constants, ndt.h:38-43.
 DOWNSAMPLE_UPPER_THRESHOLD = 0.2
@@ -87,38 +87,41 @@ def max_segments(n_desired: int) -> int:
     return int(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD)) + 8
 
 
-def _voxel_keys(points, mask, voxel_size, mins, maxs):
-    """(z, y, x) int keys per point; masked-out points get INT32_MAX keys."""
-    lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
-    coords, _ = vx.metric_to_voxel_space(points, voxel_size, lens, offsets)
-    key = jnp.where(mask[:, None], coords[:, ::-1], _INT_MAX)  # (z, y, x)
-    return key, coords, lens, offsets
+def _voxel_keys(px, py, pz, mask, voxel_size, mins, maxs):
+    """Per-point sort keys from structure-of-arrays coordinates.
 
-
-def _pack_zy(key, lens):
-    """Fuse the (z, y) key pair into one int32: zy = z*len_y + y.
-
-    Halves the variadic-sort comparator width. Exact whenever
-    len_z * len_y < 2^31 — grids beyond that would need the reference's
-    dense allocation to exceed ~10^14 bytes, i.e. strictly more permissive
-    than the C core. Invalid rows (z == INT32_MAX) stay INT32_MAX (real zy
-    values are < len_z*len_y << INT32_MAX).
+    TPU pads the minor dim of narrow 2-D arrays to 128 lanes, so every pass
+    over an [N, 3] array costs the bandwidth of [N, 128]; the whole hot path
+    therefore works on three compact [N] component vectors. Returns
+    (zy, x, lens, offsets) where zy fuses the (z, y) key pair into one
+    int32 — zy = z*len_y + y, exact whenever len_z*len_y < 2^31; grids
+    beyond that would need the reference's dense allocation to exceed
+    ~10^14 bytes, i.e. strictly more permissive than the C core. Masked-out
+    points get INT32_MAX keys (real zy values are << INT32_MAX).
     """
-    zy = key[:, 0] * lens[1] + key[:, 1]
-    return jnp.where(key[:, 0] == _INT_MAX, _INT_MAX, zy)
+    lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
+
+    def coord(p, axis):
+        raw = jnp.floor((p - offsets[axis]) / voxel_size).astype(jnp.int32)
+        return jnp.clip(raw, 0, lens[axis] - 1)  # voxel.c:83-103 semantics
+
+    x, y, z = coord(px, 0), coord(py, 1), coord(pz, 2)
+    zy = jnp.where(mask, z * lens[1] + y, _INT_MAX)
+    x = jnp.where(mask, x, _INT_MAX)
+    return zy, x, lens, offsets
 
 
-def _count_occupied(points, mask, voxel_size, mins, maxs):
+def _count_occupied(px, py, pz, mask, voxel_size, mins, maxs):
     """Number of distinct occupied voxels at this voxel size."""
-    key, _, lens, _ = _voxel_keys(points, mask, voxel_size, mins, maxs)
-    zy, x = jax.lax.sort((_pack_zy(key, lens), key[:, 2]), num_keys=2)
+    zy, x, _, _ = _voxel_keys(px, py, pz, mask, voxel_size, mins, maxs)
+    zy, x = jax.lax.sort((zy, x), num_keys=2)
     valid = zy != _INT_MAX
     diff = jnp.ones_like(valid)
     diff = diff.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
     return jnp.sum((valid & diff).astype(jnp.int32))
 
 
-def _search_voxel_size(points, mask, n_desired, mins, maxs):
+def _search_voxel_size(px, py, pz, mask, n_desired, mins, maxs):
     """Binary search over voxel size (ndt.c:136-187).
 
     Same control flow as the C loop: start at (MAX−MIN)/2, shrink
@@ -148,7 +151,7 @@ def _search_voxel_size(points, mask, n_desired, mins, maxs):
 
     def body(c):
         done, guess, lo, hi, it, best_g, best_c = c
-        count = _count_occupied(points, mask, guess, mins, maxs)
+        count = _count_occupied(px, py, pz, mask, guess, mins, maxs)
         too_many = count.astype(jnp.float32) > upper
         too_few = count < n_desired
         hit = ~too_many & ~too_few
@@ -167,7 +170,7 @@ def _search_voxel_size(points, mask, n_desired, mins, maxs):
     return final, done
 
 
-def _search_voxel_size_fast(points, mask, n_desired, mins, maxs):
+def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs):
     """Accelerated search: same acceptance band [n, 1.2n] as the reference
     (so results are equally valid), but seeded with the geometric-mean
     estimate (voxel.c:28-59) and iterated with a secant step on log voxel
@@ -199,7 +202,7 @@ def _search_voxel_size_fast(points, mask, n_desired, mins, maxs):
 
     def body(c):
         done, guess, lo, hi, it, best_g, best_c = c
-        count = _count_occupied(points, mask, guess, mins, maxs)
+        count = _count_occupied(px, py, pz, mask, guess, mins, maxs)
         too_many = count.astype(jnp.float32) > upper
         too_few = count < n_desired
         hit = ~too_many & ~too_few
@@ -221,25 +224,35 @@ def _search_voxel_size_fast(points, mask, n_desired, mins, maxs):
     return final, done
 
 
-def _build_state(points, mask, classes, num_class_slots, voxel_size,
+def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
                  converged, mins, maxs, k_max, use_pallas=False):
-    """Steps 3-4: sort by voxel key, reduce moments, compute neighbor KLs."""
-    n = points.shape[0]
-    key, coords, lens, offsets = _voxel_keys(points, mask, voxel_size, mins, maxs)
+    """Steps 3-4: sort by voxel key, reduce moments, compute neighbor KLs.
+
+    Operates on structure-of-arrays coordinates end to end (see _voxel_keys
+    for why): the sort payload, gathers, voxel centers, and shifted
+    coordinates are all compact [N] vectors; the 13(+C)-wide moment rows
+    are only ever materialized inside the Pallas kernel's VMEM.
+    """
+    n = px.shape[0]
+    zy0, x0, lens, offsets = _voxel_keys(
+        px, py, pz, mask, voxel_size, mins, maxs
+    )
 
     # sort fused (zy, x) keys with the original index as a tie-breaking
     # THIRD key: duplicates get a total order, so downstream f32 segment
     # sums accumulate in a fixed association order — bit-deterministic
-    # across shardings/layouts (payload-only permutations are not)
+    # across shardings/layouts (payload-only permutations are not).
+    # Coordinates and classes ride along as sort PAYLOAD: a post-hoc
+    # px[perm] would be a gather along the lane dim, which TPU executes
+    # orders of magnitude slower than moving payload through the
+    # (VMEM-resident) sort network.
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    zy, x, perm = jax.lax.sort(
-        (_pack_zy(key, lens), key[:, 2], iota), num_keys=3
+    zy, x, _, pxs, pys, pzs, cls = jax.lax.sort(
+        (zy0, x0, iota, px, py, pz, classes.astype(jnp.int32)), num_keys=3
     )
     valid_s = zy != _INT_MAX
     z = jnp.where(valid_s, zy // lens[1], _INT_MAX)
     y = jnp.where(valid_s, zy % lens[1], _INT_MAX)
-    pts_s = points[perm]
-    cls = classes.astype(jnp.int32)[perm]
 
     new_seg = jnp.ones((n,), bool)
     new_seg = new_seg.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
@@ -248,14 +261,18 @@ def _build_state(points, mask, classes, num_class_slots, voxel_size,
     total = seg[-1] + 1  # distinct occupied voxels
     seg = jnp.where(valid_s & (seg < k_max) & (seg >= 0), seg, k_max)
 
-    # voxel centers from sorted coords — (x, y, z) order for the metric map
-    xyz_s = jnp.stack([x, y, z], axis=1)
-    centers = vx.voxel_to_metric_space(
-        jnp.where(valid_s[:, None], xyz_s, 0), voxel_size, offsets
-    )
+    # voxel centers from sorted coords, per component (voxel.c:105-114)
+    def center(c, axis):
+        c = jnp.where(valid_s, c, 0)
+        return (c.astype(jnp.float32) + 0.5) * voxel_size + offsets[axis]
 
-    mom = segment_moments(
-        pts_s, centers, seg, k_max, valid=valid_s,
+    v = valid_s.astype(jnp.float32)
+    xt = jnp.where(valid_s, pxs - center(x, 0), 0.0)
+    yt = jnp.where(valid_s, pys - center(y, 1), 0.0)
+    zt = jnp.where(valid_s, pzs - center(z, 2), 0.0)
+
+    mom = segment_moments_soa(
+        xt, yt, zt, v, seg, k_max,
         classes=cls, num_class_slots=num_class_slots, use_pallas=use_pallas,
     )
     # per-segment voxel key: segments are contiguous after the sort, so the
@@ -387,7 +404,21 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
         classes = jnp.zeros((n,), jnp.int32)
     k_max = max_segments(n_desired)
 
-    mins, maxs = vx.pointcloud_limits(points, mask)
+    # split to structure-of-arrays once: everything downstream works on
+    # compact [N] vectors (TPU bills an [N, 3] pass as [N, 128] — lane
+    # padding; see _voxel_keys)
+    px, py, pz = points[:, 0], points[:, 1], points[:, 2]
+
+    def limits(p):
+        big = jnp.asarray(jnp.finfo(p.dtype).max, p.dtype)
+        return (
+            jnp.min(jnp.where(mask, p, big)),
+            jnp.max(jnp.where(mask, p, -big)),
+        )
+
+    (x0, x1), (y0, y1), (z0, z1) = limits(px), limits(py), limits(pz)
+    mins = jnp.stack([x0, y0, z0])
+    maxs = jnp.stack([x1, y1, z1])
     if fixed_voxel_size is not None:
         voxel_size = jnp.asarray(fixed_voxel_size, jnp.float32)
         converged = jnp.array(True)
@@ -395,9 +426,11 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
         search_fn = (
             _search_voxel_size_fast if search == "fast" else _search_voxel_size
         )
-        voxel_size, converged = search_fn(points, mask, n_desired, mins, maxs)
+        voxel_size, converged = search_fn(
+            px, py, pz, mask, n_desired, mins, maxs
+        )
     state = _build_state(
-        points, mask, classes, num_class_slots, voxel_size, converged,
+        px, py, pz, mask, classes, num_class_slots, voxel_size, converged,
         mins, maxs, k_max, use_pallas=use_pallas,
     )
     pcl, covs, labels, out_mask = _emit(state, n_desired, prune_order)

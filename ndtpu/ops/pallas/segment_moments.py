@@ -8,17 +8,26 @@ scatter-as-matmul: for a block of points sorted by segment id, the update is
 
     out[s0 : s0+W, :] += onehotᵀ @ feats_block        (an MXU contraction)
 
-where `onehot[i, j] = (seg_ids[i] - s0 == j)` is built on the fly in VMEM
+where `onehot[s, i] = (seg_ids[i] - s0 == s)` is built on the fly in VMEM
 and never materialized in HBM. The TPU grid is sequential over point
 blocks, so accumulating into the output ref across grid steps is race-free
 by construction.
 
+Layout notes (these dominated the kernel's runtime before being fixed):
+- seg ids ship as one [1, block_n] row per grid step (lane-major), not a
+  [block_n, 1] column — a column of int32 occupies one valid lane per
+  (8, 128) tile, inflating its DMA 128×.
+- the output window start is aligned down to the f32 sublane count (8), so
+  the read-modify-write of out_ref hits whole tiles; the onehot matrix gets
+  8 extra rows of headroom to compensate.
+
 Precondition: ids must be *dense sorted ranks* — non-decreasing with unit
 steps (exactly what the NDT pipeline's cumsum-of-boundary-flags produces).
 Density bounds the id span of any block by the block length, so a
-block-sized output window always suffices. Ids >= num_segments (the
-invalid-point sentinel) either land in the caller's designated drop row or
-fall outside every window and contribute all-zero one-hot rows.
+block-sized (+ alignment headroom) output window always suffices. Ids >=
+num_segments (the invalid-point sentinel) either land in the caller's
+designated drop row or fall outside every window and contribute all-zero
+one-hot rows.
 
 Batching: a jax.custom_batching rule flattens [B, N] inputs into one kernel
 call — each batch element gets its own block-aligned id range (so no point
@@ -35,31 +44,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = jnp.iinfo(jnp.int32).max // 2
+_SUBLANE = 8  # f32 sublane count; window starts align to this
 
 
-def _kernel(seg_ref, feats_ref, out_ref, *, block_n, rows):
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(seg_ref, feats_ref, out_ref, *, block_n, rows, bf16x3):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    seg = seg_ref[:, 0]  # [block_n] int32, sorted non-decreasing
-    feats = feats_ref[:]  # [block_n, F]
+    seg = seg_ref[0, 0, :]  # [block_n] int32, sorted non-decreasing
+    feats = feats_ref[:]  # [block_n, F] f32
 
-    start = jnp.minimum(seg[0], rows - block_n)  # clamp window into out
-    local = seg - start  # in [0, block_n) for every valid row (dense sorted)
-    onehot = (
-        local[:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (block_n, block_n), 1)
-    ).astype(feats.dtype)
+    window = block_n + _SUBLANE
+    # clamp window into out, then align down to a whole-sublane boundary
+    start = jnp.minimum(seg[0], rows - window)
+    start = pl.multiple_of((start // _SUBLANE) * _SUBLANE, _SUBLANE)
+    local = seg - start  # in [0, window) for every valid row (dense sorted)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (window, block_n), 0)
+    hit = iota == local[None, :]
 
-    contrib = jax.lax.dot_general(
-        onehot, feats,
-        dimension_numbers=(((0,), (0,)), ((), ())),  # onehot^T @ feats
-        preferred_element_type=jnp.float32,
-    )  # [block_n, F]
-    out_ref[pl.ds(start, block_n), :] += contrib
+    if bf16x3:
+        # The one-hot matrix is exact in bf16, so the contraction can run at
+        # the MXU's bf16 rate if feats is split into three bf16 mantissa
+        # chunks (hi + mid + lo reconstructs >= f32's 24 mantissa bits; each
+        # residual subtraction below is exact in f32). The chunks pack along
+        # lanes (F -> 3F; for the NDT feature width 3*42 = 126 <= 128 this
+        # is free under lane padding) so ONE matmul computes all three
+        # partial sums, folded back in f32 afterwards.
+        f = feats.shape[1]
+        hi = feats.astype(jnp.bfloat16)
+        r1 = feats - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        packed = jnp.concatenate([hi, mid, lo], axis=1)  # [block_n, 3F] bf16
+        p = jax.lax.dot_general(
+            hit.astype(jnp.bfloat16), packed,
+            dimension_numbers=(((1,), (0,)), ((), ())),  # onehot @ packed
+            preferred_element_type=jnp.float32,
+        )  # [window, 3F] f32
+        contrib = p[:, :f] + p[:, f:2 * f] + p[:, 2 * f:]
+    else:
+        contrib = jax.lax.dot_general(
+            hit.astype(jnp.float32), feats,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [window, F]
+    out_ref[pl.ds(start, window), :] += contrib
+
+
+def _bf16x3_enabled() -> bool:
+    import os
+
+    return os.environ.get("NDTPU_PALLAS_PRECISION", "bf16x3") == "bf16x3"
 
 
 def _call_kernel(feats_flat, seg_flat, rows: int, block_n: int):
@@ -67,16 +109,20 @@ def _call_kernel(feats_flat, seg_flat, rows: int, block_n: int):
     m, f = feats_flat.shape
     grid = (m // block_n,)
     return pl.pallas_call(
-        functools.partial(_kernel, block_n=block_n, rows=rows),
+        functools.partial(
+            _kernel, block_n=block_n, rows=rows, bf16x3=_bf16x3_enabled()
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0)),
+            # (1, 1, block_n) row blocks: lane-major ids, one contiguous DMA
+            # per step (a [block_n, 1] column would waste 127/128 lanes)
+            pl.BlockSpec((1, 1, block_n), lambda i: (i, 0, 0)),
             pl.BlockSpec((block_n, f), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((rows, f), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, f), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(seg_flat[:, None], feats_flat.astype(jnp.float32))
+    )(seg_flat.reshape(grid[0], 1, block_n), feats_flat.astype(jnp.float32))
 
 
 def _pad(feats, seg_ids, block_n):
@@ -94,7 +140,7 @@ def _pad(feats, seg_ids, block_n):
 
 @functools.lru_cache(maxsize=None)
 def _make_fn(num_segments: int, block_n: int):
-    rows = max(num_segments, block_n)
+    rows = _round_up(max(num_segments, block_n + _SUBLANE), _SUBLANE)
 
     @jax.custom_batching.custom_vmap
     def f(feats, seg_ids):
@@ -124,6 +170,160 @@ def _make_fn(num_segments: int, block_n: int):
     return f
 
 
+def _moments_kernel(seg_ref, xt_ref, yt_ref, zt_ref, v_ref, cls_ref, out_ref,
+                    *, block_n, rows, slots, bf16x3):
+    """Fused NDT-moment accumulation: builds the 13(+slots)-row feature
+    matrix in VMEM from compact 1-D inputs, then contracts it with the
+    block one-hot on the MXU. Never materializes [N, F] in HBM."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    seg = seg_ref[0, 0, :]
+    xt = xt_ref[0, 0, :]
+    yt = yt_ref[0, 0, :]
+    zt = zt_ref[0, 0, :]
+    v = v_ref[0, 0, :]
+    cls = cls_ref[0, 0, :]
+
+    window = block_n + _SUBLANE
+    start = jnp.minimum(seg[0], rows - window)
+    start = pl.multiple_of((start // _SUBLANE) * _SUBLANE, _SUBLANE)
+    local = seg - start
+    hit = (
+        jax.lax.broadcasted_iota(jnp.int32, (window, block_n), 0)
+        == local[None, :]
+    )
+
+    xx, xy, xz = xt * xt, xt * yt, xt * zt
+    yy, yz, zz = yt * yt, yt * zt, zt * zt
+    row_list = [v, xt, yt, zt, xx, xy, xz, xy, yy, yz, xz, yz, zz]
+    for c in range(slots):
+        row_list.append(v * (cls == c).astype(jnp.float32))
+    feats = jnp.stack(row_list, axis=0)  # [F, block_n] f32, VMEM only
+
+    if bf16x3:
+        f = feats.shape[0]
+        hi = feats.astype(jnp.bfloat16)
+        r1 = feats - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        packed = jnp.concatenate([hi, mid, lo], axis=0)  # [3F, block_n]
+        p = jax.lax.dot_general(
+            hit.astype(jnp.bfloat16), packed,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [window, 3F]
+        contrib = p[:, :f] + p[:, f:2 * f] + p[:, 2 * f:]
+    else:
+        contrib = jax.lax.dot_general(
+            hit.astype(jnp.float32), feats,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [window, F]
+    out_ref[pl.ds(start, window), :] += contrib
+
+
+def _call_moments_kernel(seg, xt, yt, zt, v, cls, rows: int, block_n: int,
+                         slots: int):
+    """All inputs flat [M] (M % block_n == 0) -> [rows, 13 + slots]."""
+    m = seg.shape[0]
+    grid = (m // block_n,)
+    f = 13 + slots
+
+    def spec():
+        return pl.BlockSpec((1, 1, block_n), lambda i: (i, 0, 0))
+
+    def rs(a):
+        return a.reshape(grid[0], 1, block_n)
+
+    return pl.pallas_call(
+        functools.partial(
+            _moments_kernel, block_n=block_n, rows=rows, slots=slots,
+            bf16x3=_bf16x3_enabled(),
+        ),
+        grid=grid,
+        in_specs=[spec() for _ in range(6)],
+        out_specs=pl.BlockSpec((rows, f), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, f), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        rs(seg), rs(xt.astype(jnp.float32)), rs(yt.astype(jnp.float32)),
+        rs(zt.astype(jnp.float32)), rs(v.astype(jnp.float32)), rs(cls),
+    )
+
+
+def _pad1(a, block_n, value=0):
+    n = a.shape[-1]
+    pad_n = (-n) % block_n
+    if pad_n:
+        a = jnp.pad(
+            a, [(0, 0)] * (a.ndim - 1) + [(0, pad_n)], constant_values=value
+        )
+    return a
+
+
+@functools.lru_cache(maxsize=None)
+def _make_moments_fn(num_segments: int, slots: int, block_n: int):
+    rows = _round_up(max(num_segments, block_n + _SUBLANE), _SUBLANE)
+
+    @jax.custom_batching.custom_vmap
+    def f(xt, yt, zt, v, cls, seg_ids):
+        seg_p = _pad1(seg_ids, block_n, value=_BIG)
+        args = [_pad1(a, block_n) for a in (xt, yt, zt, v)]
+        cls_p = _pad1(cls, block_n)
+        out = _call_moments_kernel(
+            seg_p, *args, cls_p, rows, block_n, slots
+        )
+        return out[:num_segments]
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, xt, yt, zt, v, cls, seg_ids):
+        b = axis_size
+        ops = [xt, yt, zt, v, cls, seg_ids]
+        for i, (op, batched) in enumerate(zip(ops, in_batched)):
+            if not batched:
+                ops[i] = jnp.broadcast_to(op, (b,) + op.shape)
+        xt, yt, zt, v, cls, seg_ids = ops
+        seg_p = _pad1(seg_ids, block_n, value=_BIG)
+        n_p = seg_p.shape[1]
+        offs = (jnp.arange(b, dtype=jnp.int32) * rows)[:, None]
+        seg_flat = jnp.where(
+            seg_p >= num_segments, _BIG, seg_p + offs
+        ).reshape(b * n_p)
+        flat = [
+            _pad1(a, block_n).reshape(b * n_p) for a in (xt, yt, zt, v, cls)
+        ]
+        out = _call_moments_kernel(
+            seg_flat, *flat, b * rows, block_n, slots
+        )
+        out = out.reshape(b, rows, 13 + slots)[:, :num_segments]
+        return out, True
+
+    return f
+
+
+def fused_moments_sorted(xt, yt, zt, v, cls, seg_ids, num_segments: int,
+                         slots: int, block_n: int | None = None):
+    """NDT Gaussian-moment accumulation from compact 1-D inputs.
+
+    xt/yt/zt: [..., N] f32 voxel-center-shifted coordinates, pre-masked
+    (invalid rows zero). v: [..., N] f32 validity. cls: [..., N] i32 class
+    tags. seg_ids: [..., N] i32 dense sorted ranks (ids >= num_segments
+    dropped). Returns [..., num_segments, 13 + slots] f32 accumulator rows
+    [count, Σx̃, Σx̃x̃ᵀ(9), class histogram(slots)]."""
+    if block_n is None:
+        import os
+
+        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "1024"))
+    n = seg_ids.shape[-1]
+    block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
+    fn = _make_moments_fn(int(num_segments), int(slots), int(block_n))
+    return fn(xt, yt, zt, v, cls.astype(jnp.int32), seg_ids.astype(jnp.int32))
+
+
 def segment_sum_sorted(feats, seg_ids, num_segments: int,
                        block_n: int | None = None):
     """Segment-sum of `feats` [..., N, F] by dense sorted rank `seg_ids`
@@ -132,13 +332,13 @@ def segment_sum_sorted(feats, seg_ids, num_segments: int,
     Matches jax.ops.segment_sum(indices_are_sorted=True) under that
     precondition, and vmaps (one fused kernel call for the whole batch).
 
-    block_n trades onehot-matmul FLOPs (block_n^2 * F per block) against
+    block_n trades onehot-matmul FLOPs (~block_n^2 * F per block) against
     grid-step count; overridable via NDTPU_PALLAS_BLOCK for tuning."""
     if block_n is None:
         import os
 
-        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "512"))
+        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "1024"))
     n = feats.shape[-2]
-    block_n = min(block_n, max(8, ((n + 7) // 8) * 8))
+    block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
     fn = _make_fn(int(num_segments), int(block_n))
     return fn(feats, seg_ids.astype(jnp.int32))

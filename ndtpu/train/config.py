@@ -39,9 +39,23 @@ class TrainConfig:
     wandb_project: str = "ndnet"
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set bfloat16 for MXU-native compute
+    use_pallas: str = "auto"        # auto|on|off: Pallas segment-sum kernel
     data_axis: str = "data"
     seed: int = 0
     steps_per_epoch: Optional[int] = None  # derived from dataset when None
+
+    def resolve_use_pallas(self) -> bool:
+        """auto -> the fused Pallas segment-sum on TPU, XLA path elsewhere."""
+        if self.use_pallas not in ("auto", "on", "off"):
+            raise ValueError(
+                f"--use_pallas must be auto|on|off, got {self.use_pallas!r}"
+            )
+        if self.use_pallas == "auto":
+            import jax
+
+            plat = jax.devices()[0].platform
+            return plat.startswith("tpu") or plat == "axon"
+        return self.use_pallas == "on"
 
     @classmethod
     def from_args(cls, argv=None, **default_overrides):

@@ -42,7 +42,7 @@ def main():
     from ndtpu.core import ndt as nd
     from ndtpu.core import voxel as vx
     from ndtpu.core.kl import neighbor_min_kl
-    from ndtpu.core.moments import finalize_moments, segment_moments
+    from ndtpu.core.moments import finalize_moments, segment_moments_soa
 
     M, C = args.n_desired_nds, args.n_classes + 1
     k_max = nd.max_segments(M)
@@ -72,38 +72,46 @@ def main():
             mask = jnp.ones((n,), bool)
             classes = jnp.zeros((n,), jnp.int32)
             mins, maxs = vx.pointcloud_limits(p, mask)
-            vs, _ = nd._search_voxel_size_fast(p, mask, M, mins, maxs)
+            px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+            vs, _ = nd._search_voxel_size_fast(
+                px, py, pz, mask, M, mins, maxs
+            )
 
-            key, coords, lens, offsets = nd._voxel_keys(p, mask, vs, mins, maxs)
+            zy0, x0, lens, offsets = nd._voxel_keys(
+                px, py, pz, mask, vs, mins, maxs
+            )
             iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-            zy, x, perm = jax.lax.sort(
-                (nd._pack_zy(key, lens), key[:, 2], iota), num_keys=3
+            zy, x, _, pxs, pys, pzs, cls = jax.lax.sort(
+                (zy0, x0, iota, px, py, pz, classes), num_keys=3
             )
             valid_s = zy != nd._INT_MAX
             z = jnp.where(valid_s, zy // lens[1], nd._INT_MAX)
             y = jnp.where(valid_s, zy % lens[1], nd._INT_MAX)
-            pts_s = p[perm]
-            cls = classes[perm]
             if stage == "sort":
-                return jnp.sum(pts_s) + jnp.sum(zy)
+                return jnp.sum(pxs) + jnp.sum(zy)
 
             new_seg = jnp.ones((n,), bool)
             new_seg = new_seg.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
             new_seg &= valid_s
             seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
             seg = jnp.where(valid_s & (seg < k_max) & (seg >= 0), seg, k_max)
-            xyz_s = jnp.stack([x, y, z], axis=1)
-            centers = vx.voxel_to_metric_space(
-                jnp.where(valid_s[:, None], xyz_s, 0), vs, offsets
-            )
-            mom = segment_moments(
-                pts_s, centers, seg, k_max, valid=valid_s,
+
+            def center(c, axis):
+                c = jnp.where(valid_s, c, 0)
+                return (c.astype(jnp.float32) + 0.5) * vs + offsets[axis]
+
+            v = valid_s.astype(jnp.float32)
+            xt = jnp.where(valid_s, pxs - center(x, 0), 0.0)
+            yt = jnp.where(valid_s, pys - center(y, 1), 0.0)
+            zt = jnp.where(valid_s, pzs - center(z, 2), 0.0)
+            mom = segment_moments_soa(
+                xt, yt, zt, v, seg, k_max,
                 classes=cls, num_class_slots=C, use_pallas=args.use_pallas,
             )
             if stage == "segsum":
                 return jnp.sum(mom["sum_outer"]) + jnp.sum(mom["sum_shift"])
             masked_iota = jnp.where(new_seg, iota, n)
-            starts = jax.lax.sort(masked_iota)[:k_max]
+            starts = -jax.lax.top_k(-masked_iota, k_max)[0]
             in_range = starts < n
             safe = jnp.minimum(starts, n - 1)
             seg_zyx = jnp.where(

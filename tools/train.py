@@ -106,13 +106,17 @@ def main():
             num_classes=cfg.n_classes, feature_dim=cfg.feature_dim,
             dtype=jnp.dtype(cfg.compute_dtype),
         )
-        step_fn, eval_fn = make_classification_step(cfg.n_desired_nds, cfg.n_classes)
+        step_fn, eval_fn = make_classification_step(
+            cfg.n_desired_nds, cfg.n_classes, cfg.resolve_use_pallas()
+        )
     else:
         model = NDTNetSegmentation(
             num_classes=cfg.n_classes, feature_dim=cfg.feature_dim,
             dtype=jnp.dtype(cfg.compute_dtype),
         )
-        step_fn, eval_fn = make_ndt_seg_step(cfg.n_desired_nds, cfg.n_classes)
+        step_fn, eval_fn = make_ndt_seg_step(
+            cfg.n_desired_nds, cfg.n_classes, cfg.resolve_use_pallas()
+        )
 
     state = create_train_state(
         model, tx, jax.random.PRNGKey(cfg.seed),

@@ -49,7 +49,9 @@ def main():
         num_classes=cfg.n_classes, fine_res=fine, coarse_res=coarse,
         feature_dim=cfg.feature_dim, dtype=jnp.dtype(cfg.compute_dtype),
     )
-    step_fn, eval_fn = make_multiscale_seg_step(fine, coarse, cfg.n_classes)
+    step_fn, eval_fn = make_multiscale_seg_step(
+        fine, coarse, cfg.n_classes, cfg.resolve_use_pallas()
+    )
 
     # template init needs a real NDT state pytree: run one tiny preprocess
     from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
