@@ -21,8 +21,10 @@ def main():
     p.add_argument("--f", type=int, default=42)
     p.add_argument("--k", type=int, default=1209)
     p.add_argument("--mode", type=str, default="pallas",
-                   choices=["pallas", "xla", "none"],
-                   help="'none' times only the input perturbation loop")
+                   choices=["pallas", "xla", "none", "sort1", "sort2",
+                            "sort7"],
+                   help="'none' times only the input perturbation loop; "
+                        "sortN times an N-operand lax.sort over [B, N]")
     p.add_argument("--inner", type=int, default=4)
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args()
@@ -58,6 +60,21 @@ def main():
                     ff, ss, num_segments=args.k, indices_are_sorted=True
                 )
             )(f, s)
+    elif args.mode.startswith("sort"):
+        n_ops = int(args.mode[4:])
+        keys = jnp.asarray(
+            rng.integers(0, 1 << 20, size=(args.batch, args.n)).astype(
+                np.int32
+            )
+        )
+
+        def fn(f, s):
+            k0 = keys + jnp.round(f[:, :, 0] * 0).astype(jnp.int32)
+            ops = [k0, s] + [f[:, :, i % args.f] for i in range(n_ops - 2)]
+            out = jax.vmap(
+                lambda *a: jax.lax.sort(a, num_keys=min(2, n_ops))
+            )(*ops[:n_ops])
+            return out[0][:, :1].astype(jnp.float32)
     else:
         def fn(f, s):
             return jnp.sum(f, axis=1)[:, None, :] * 0.0

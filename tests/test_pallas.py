@@ -61,3 +61,79 @@ def test_full_pipeline_pallas_parity():
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(a[3]), np.asarray(b[3]))
+
+
+@pytest.mark.parametrize("n,k,slots,block", [
+    (1000, 37, 5, 128),
+    (513, 5, 1, 256),      # non-divisible N -> padding path
+    (64, 40, 3, 512),      # tiny input, block clamped
+])
+def test_fused_moments_matches_xla(n, k, slots, block):
+    from ndtpu.core.moments import segment_moments_soa
+
+    rng = np.random.default_rng(3)
+    seg = dense_ranks(n, k, rng)
+    seg[-7:] = k  # some dropped sentinel rows
+    v = (rng.random(n) > 0.1).astype(np.float32)
+    xt = (rng.normal(size=n) * v).astype(np.float32)
+    yt = (rng.normal(size=n) * v).astype(np.float32)
+    zt = (rng.normal(size=n) * v).astype(np.float32)
+    cls = rng.integers(0, slots, size=n).astype(np.int32)
+
+    kw = dict(classes=jnp.asarray(cls), num_class_slots=slots)
+    a = segment_moments_soa(
+        jnp.asarray(xt), jnp.asarray(yt), jnp.asarray(zt), jnp.asarray(v),
+        jnp.asarray(seg), k, use_pallas=False, **kw,
+    )
+    import ndtpu.ops.pallas.segment_moments as sm
+    try:  # force the fused kernel's block size via the env knob
+        import os
+        os.environ["NDTPU_PALLAS_BLOCK"] = str(block)
+        sm._make_moments_fn.cache_clear()
+        b = segment_moments_soa(
+            jnp.asarray(xt), jnp.asarray(yt), jnp.asarray(zt), jnp.asarray(v),
+            jnp.asarray(seg), k, use_pallas=True, **kw,
+        )
+    finally:
+        os.environ.pop("NDTPU_PALLAS_BLOCK", None)
+        sm._make_moments_fn.cache_clear()
+    np.testing.assert_array_equal(np.asarray(a["counts"]), np.asarray(b["counts"]))
+    np.testing.assert_allclose(
+        np.asarray(a["sum_shift"]), np.asarray(b["sum_shift"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["sum_outer"]), np.asarray(b["sum_outer"]), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["class_hist"]), np.asarray(b["class_hist"])
+    )
+
+
+def test_fused_moments_batched():
+    from ndtpu.core.moments import segment_moments_soa
+
+    rng = np.random.default_rng(4)
+    B, n, k, slots = 3, 200, 11, 4
+    seg = np.stack([dense_ranks(n, k, rng) for _ in range(B)])
+    v = np.ones((B, n), np.float32)
+    xt = rng.normal(size=(B, n)).astype(np.float32)
+    yt = rng.normal(size=(B, n)).astype(np.float32)
+    zt = rng.normal(size=(B, n)).astype(np.float32)
+    cls = rng.integers(0, slots, size=(B, n)).astype(np.int32)
+
+    def one(args, use_pallas):
+        return segment_moments_soa(
+            *args[:4], args[5], k, classes=args[4],
+            num_class_slots=slots, use_pallas=use_pallas,
+        )
+
+    args = tuple(map(jnp.asarray, (xt, yt, zt, v, cls, seg)))
+    a = jax.vmap(lambda *a: one(a, False))(*args)
+    b = jax.vmap(lambda *a: one(a, True))(*args)
+    np.testing.assert_array_equal(np.asarray(a["counts"]), np.asarray(b["counts"]))
+    np.testing.assert_allclose(
+        np.asarray(a["sum_outer"]), np.asarray(b["sum_outer"]), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["class_hist"]), np.asarray(b["class_hist"])
+    )
