@@ -173,11 +173,14 @@ def _search_voxel_size(px, py, pz, mask, n_desired, mins, maxs):
 def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs):
     """Accelerated search: same acceptance band [n, 1.2n] as the reference
     (so results are equally valid), but seeded with the geometric-mean
-    estimate (voxel.c:28-59) and iterated with a secant step on log voxel
-    size — occupied count scales roughly as size^-3, so
-    ``guess *= (count/target)^(1/3)`` converges in ~2-5 counts instead of
-    the blind bisection's ~8-15. Bisection bounds are kept as a safety
-    rail; the step falls back to the midpoint if the secant leaves them.
+    estimate (voxel.c:28-59) and iterated with a log-log secant: occupied
+    count scales as size^-alpha, where alpha ≈ 2 for real point clouds
+    (lidar/mesh samples lie on surfaces) and 3 for volume-filling ones.
+    The first step assumes the surface prior alpha = 2; every later step
+    measures alpha from the last two (size, count) pairs, so both regimes
+    converge in ~2-3 counts instead of the blind bisection's ~8-15.
+    Bisection bounds are kept as a safety rail; the step falls back to the
+    midpoint if the secant leaves them.
     """
     upper = n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD)
     target = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD / 2.0))
@@ -194,16 +197,19 @@ def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs):
         jnp.int32(0),
         jnp.float32(0.0),
         jnp.int32(jnp.iinfo(jnp.int32).max),
+        jnp.float32(0.0),   # previous guess (0 = none yet)
+        jnp.float32(0.0),   # previous count
     )
 
     def cond(c):
-        done, _, _, _, it, _, _ = c
+        done, _, _, _, it, _, _, _, _ = c
         return (~done) & (it < MAX_GUESS_ITERATIONS)
 
     def body(c):
-        done, guess, lo, hi, it, best_g, best_c = c
+        done, guess, lo, hi, it, best_g, best_c, pg, pc = c
         count = _count_occupied(px, py, pz, mask, guess, mins, maxs)
-        too_many = count.astype(jnp.float32) > upper
+        countf = count.astype(jnp.float32)
+        too_many = countf > upper
         too_few = count < n_desired
         hit = ~too_many & ~too_few
         better = (count >= n_desired) & (count < best_c)
@@ -211,14 +217,24 @@ def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs):
         best_c = jnp.where(better, count, best_c)
         lo = jnp.where(too_many, guess, lo)
         hi = jnp.where(too_few, guess, hi)
-        ratio = jnp.maximum(count, 1).astype(jnp.float32) / target
-        secant = guess * jnp.power(ratio, 1.0 / 3.0)
+        # measured occupancy exponent from the last two evaluations;
+        # surface prior (2.0) when no usable pair exists
+        dlog_c = jnp.log(jnp.maximum(countf, 1.0) / jnp.maximum(pc, 1.0))
+        dlog_g = jnp.log(pg / guess)
+        usable = (pg > 0) & (jnp.abs(dlog_g) > 1e-6) & (jnp.abs(dlog_c) > 1e-6)
+        alpha = jnp.where(usable, dlog_c / dlog_g, 2.0)
+        alpha = jnp.clip(alpha, 0.5, 4.0)
+        ratio = jnp.maximum(countf, 1.0) / target
+        secant = guess * jnp.power(ratio, 1.0 / alpha)
         inside = (secant > lo) & (secant < hi)
         nxt = jnp.where(inside, secant, lo + (hi - lo) / 2.0)
+        pg, pc = guess, countf
         guess = jnp.where(hit, guess, nxt)
-        return (hit, guess, lo, hi, it + 1, best_g, best_c)
+        return (hit, guess, lo, hi, it + 1, best_g, best_c, pg, pc)
 
-    done, guess, _, _, _, best_g, best_c = jax.lax.while_loop(cond, body, init)
+    done, guess, _, _, _, best_g, best_c, _, _ = jax.lax.while_loop(
+        cond, body, init
+    )
     have_best = best_c < jnp.iinfo(jnp.int32).max
     final = jnp.where(done, guess, jnp.where(have_best, best_g, guess))
     return final, done
