@@ -10,10 +10,14 @@ for KL pruning.
 
 Table discovery is also collective: each shard finds its local distinct
 voxel keys, all-gathers them, and merges — bounded by the static k_max.
+
+Layout: the per-point work is structure-of-arrays with fused (zy, x) keys,
+and each shard assigns *local* dense segment ranks via its own payload
+sort — the local→global remap then touches only k_max rows (a per-point
+lookup against the global table would be a lane-dim gather, which TPU
+executes pathologically slowly; see CLAUDE.md and ndtpu/core/ndt.py).
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -26,41 +30,60 @@ from ndtpu.core.kl import lex_search
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-def _local_keys(points, mask, voxel_size, lens, offsets):
-    coords, _ = vx.metric_to_voxel_space(points, voxel_size, lens, offsets)
-    return jnp.where(mask[:, None], coords[:, ::-1], _INT_MAX)  # (z,y,x)
+def _keys_soa(px, py, pz, mask, voxel_size, lens, offsets):
+    """Fused (zy, x) int32 sort keys per point (see ndt._voxel_keys)."""
+
+    def coord(p, axis):
+        raw = jnp.floor((p - offsets[axis]) / voxel_size).astype(jnp.int32)
+        return jnp.clip(raw, 0, lens[axis] - 1)
+
+    x, y, z = coord(px, 0), coord(py, 1), coord(pz, 2)
+    zy = jnp.where(mask, z * lens[1] + y, _INT_MAX)
+    x = jnp.where(mask, x, _INT_MAX)
+    return zy, x
 
 
-def _unique_keys(keys, k_max):
-    """Distinct sorted keys of one shard, padded to [k_max, 3] with INT32_MAX.
-    Returns (table, count)."""
-    z, y, x = jax.lax.sort((keys[:, 0], keys[:, 1], keys[:, 2]), num_keys=3)
-    valid = z != _INT_MAX
-    first = jnp.ones_like(valid)
-    first = first.at[1:].set(
-        (z[1:] != z[:-1]) | (y[1:] != y[:-1]) | (x[1:] != x[:-1])
-    )
-    is_new = valid & first
-    n = keys.shape[0]
-    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    count = rank[-1] + 1
-    slot = jnp.where(is_new & (rank < k_max), rank, k_max)
-    table = jnp.full((k_max + 1, 3), _INT_MAX, jnp.int32)
-    table = table.at[slot].set(
-        jnp.stack([z, y, x], axis=1), mode="drop"
-    )[:k_max]
-    return table, jnp.minimum(count, k_max)
+def _distinct_sorted(zy, x, k_max):
+    """Distinct sorted (zy, x) pairs, padded to k_max with INT32_MAX.
+
+    Inputs must already be sorted by (zy, x). Returns (tzy, tx, count)."""
+    n = zy.shape[0]
+    new = jnp.ones((n,), bool)
+    new = new.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
+    new &= zy != _INT_MAX
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    masked = jnp.where(new, iota, n)
+    if k_max > n:
+        masked = jnp.concatenate(
+            [masked, jnp.full((k_max - n,), n, jnp.int32)]
+        )
+    starts = -jax.lax.top_k(-masked, k_max)[0]
+    ok = starts < n
+    safe = jnp.minimum(starts, n - 1)
+    tzy = jnp.where(ok, zy[safe], _INT_MAX)
+    tx = jnp.where(ok, x[safe], _INT_MAX)
+    return tzy, tx, jnp.sum(new.astype(jnp.int32))
 
 
-def _merge_tables(tables, k_max):
-    """Merge [D, k_max, 3] per-shard tables into one sorted distinct table."""
-    flat = tables.reshape(-1, 3)
-    return _unique_keys(flat, k_max)
+def _merge_tables(tzy, tx, k_max):
+    """Merge gathered per-shard tables [D, k_max] into one sorted distinct
+    table. Returns (tzy [k_max], tx [k_max], count)."""
+    zy, x = jax.lax.sort((tzy.reshape(-1), tx.reshape(-1)), num_keys=2)
+    return _distinct_sorted(zy, x, k_max)
+
+
+def _table_zyx(tzy, tx, lens):
+    """(zy, x) table back to [k_max, 3] (z, y, x) rows for NDTResult/KL."""
+    valid = tzy != _INT_MAX
+    z = jnp.where(valid, tzy // lens[1], _INT_MAX)
+    y = jnp.where(valid, tzy % lens[1], _INT_MAX)
+    return jnp.stack([z, y, jnp.where(valid, tx, _INT_MAX)], axis=1)
 
 
 def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
                             offsets, k_max: int, num_class_slots: int = 1,
-                            classes=None, axis: str = "points"):
+                            classes=None, axis: str = "points",
+                            use_pallas: bool = False):
     """Compute global per-voxel moments of a point-sharded cloud.
 
     Args:
@@ -77,33 +100,71 @@ def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
         classes = jnp.zeros(points.shape[:1], jnp.int32)
 
     def local(pts, msk, cls):
-        keys = _local_keys(pts, msk, voxel_size, lens, offsets)
-        local_table, _ = _unique_keys(keys, k_max)
-        gathered = jax.lax.all_gather(local_table, axis)  # [D, k_max, 3]
-        table, num_valid = _merge_tables(gathered, k_max)
+        from ndtpu.core.moments import segment_moments_soa
 
-        seg, found = lex_search(table, keys)
-        seg = jnp.where(found & msk, seg, k_max)
-        centers = vx.voxel_to_metric_space(
-            jnp.where(msk[:, None], keys[:, ::-1], 0), voxel_size, offsets
-        )
-        from ndtpu.core.moments import segment_moments
+        n = pts.shape[0]
+        px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+        zy0, x0 = _keys_soa(px, py, pz, msk, voxel_size, lens, offsets)
 
-        mom = segment_moments(
-            pts, centers, seg.astype(jnp.int32), k_max, valid=msk,
-            classes=cls, num_class_slots=num_class_slots,
+        # shard-local payload sort: coordinates/classes ride along (a
+        # post-hoc lane gather would dominate the whole pipeline)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        zy, x, _, pxs, pys, pzs, cls_s = jax.lax.sort(
+            (zy0, x0, iota, px, py, pz, cls.astype(jnp.int32)), num_keys=3
         )
-        acc = jnp.concatenate(
+        valid_s = zy != _INT_MAX
+
+        ltzy, ltx, _ = _distinct_sorted(zy, x, k_max)
+        gathered = jax.lax.all_gather(
+            jnp.stack([ltzy, ltx], axis=0), axis
+        )  # [D, 2, k_max]
+        tzy, tx, num_valid = _merge_tables(
+            gathered[:, 0, :], gathered[:, 1, :], k_max
+        )
+
+        # local dense ranks from sorted-run boundaries
+        new = jnp.ones((n,), bool)
+        new = new.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
+        new &= valid_s
+        lseg = jnp.cumsum(new.astype(jnp.int32)) - 1
+        lseg = jnp.where(valid_s & (lseg >= 0) & (lseg < k_max), lseg, k_max)
+
+        # voxel centers + shifted coordinates, per component
+        def center(c, axis_i):
+            return (c.astype(jnp.float32) + 0.5) * voxel_size + offsets[axis_i]
+
+        vz = jnp.where(valid_s, zy // lens[1], 0)
+        vy = jnp.where(valid_s, zy % lens[1], 0)
+        vx_ = jnp.where(valid_s, x, 0)
+        v = valid_s.astype(jnp.float32)
+        xt = jnp.where(valid_s, pxs - center(vx_, 0), 0.0)
+        yt = jnp.where(valid_s, pys - center(vy, 1), 0.0)
+        zt = jnp.where(valid_s, pzs - center(vz, 2), 0.0)
+
+        lmom = segment_moments_soa(
+            xt, yt, zt, v, lseg, k_max,
+            classes=cls_s, num_class_slots=num_class_slots,
+            use_pallas=use_pallas,
+        )
+        lacc = jnp.concatenate(
             [
-                mom["counts"].astype(jnp.float32)[:, None],
-                mom["sum_shift"],
-                mom["sum_outer"].reshape(k_max, 9),
-                mom["class_hist"].astype(jnp.float32),
+                lmom["counts"].astype(jnp.float32)[:, None],
+                lmom["sum_shift"],
+                lmom["sum_outer"].reshape(k_max, 9),
+                lmom["class_hist"].astype(jnp.float32),
             ],
             axis=1,
         )
+
+        # local rank -> global table row: only k_max queries (not N)
+        lzyx = _table_zyx(ltzy, ltx, lens)
+        gidx, found = lex_search(_table_zyx(tzy, tx, lens), lzyx)
+        gidx = jnp.where(found, gidx, k_max)
+        acc = jnp.zeros((k_max + 1, lacc.shape[1]), jnp.float32)
+        acc = acc.at[gidx].add(lacc, mode="drop")[:k_max]
+
         acc = jax.lax.psum(acc, axis)  # the one collective: exact reduction
-        return table, acc, num_valid
+        return _table_zyx(tzy, tx, lens), acc, jnp.minimum(num_valid, k_max)
 
     table, acc, num_valid = shard_map(
         local,
@@ -129,11 +190,16 @@ def sharded_count_occupied(mesh: Mesh, points, mask, voxel_size, lens,
     search objective), clipped to k_max."""
 
     def local(pts, msk):
-        keys = _local_keys(pts, msk, voxel_size, lens, offsets)
-        local_table, _ = _unique_keys(keys, k_max)
-        gathered = jax.lax.all_gather(local_table, axis)
-        _, num_valid = _merge_tables(gathered, k_max)
-        return num_valid
+        zy0, x0 = _keys_soa(
+            pts[:, 0], pts[:, 1], pts[:, 2], msk, voxel_size, lens, offsets
+        )
+        zy, x = jax.lax.sort((zy0, x0), num_keys=2)
+        ltzy, ltx, _ = _distinct_sorted(zy, x, k_max)
+        gathered = jax.lax.all_gather(jnp.stack([ltzy, ltx], axis=0), axis)
+        _, _, num_valid = _merge_tables(
+            gathered[:, 0, :], gathered[:, 1, :], k_max
+        )
+        return jnp.minimum(num_valid, k_max)
 
     return shard_map(
         local,
@@ -146,7 +212,8 @@ def sharded_count_occupied(mesh: Mesh, points, mask, voxel_size, lens,
 
 def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
                                   num_class_slots: int = 1,
-                                  axis: str = "points"):
+                                  axis: str = "points",
+                                  use_pallas: bool = False):
     """Full NDT downsample for a single giant cloud sharded over the point
     axis — the complete sequence-parallel-analogue pipeline (SURVEY.md §5):
     voxel-size binary search with collective occupied counts, point-sharded
@@ -156,8 +223,6 @@ def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
     (pcl [n_desired,3], covs [n_desired,9], labels, out_mask, NDTResult),
     matching ndt_downsample's contract. N must divide by the mesh size.
     """
-    import functools
-
     from ndtpu.core import ndt as nd
     from ndtpu.core.kl import neighbor_min_kl
     from ndtpu.core.moments import finalize_moments
@@ -219,6 +284,7 @@ def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
         mom = sharded_segment_moments(
             mesh, points, mask, voxel_size, lens, offsets, k_max,
             num_class_slots=num_class_slots, classes=classes, axis=axis,
+            use_pallas=use_pallas,
         )
         seg_centers = vx.voxel_to_metric_space(
             jnp.where((mom["counts"] > 0)[:, None], mom["table"][:, ::-1], 0),
