@@ -242,11 +242,9 @@ def main():
     args = p.parse_args()
 
     if args.use_pallas is None:
-        import jax
+        from ndtpu.utils.platform import is_tpu
 
-        args.use_pallas = jax.devices()[0].platform.startswith("tpu") or (
-            jax.devices()[0].platform == "axon"
-        )
+        args.use_pallas = is_tpu()
         print(f"[bench] pallas segment-sum: {args.use_pallas} (auto)",
               file=sys.stderr)
 

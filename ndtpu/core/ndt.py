@@ -102,8 +102,7 @@ def _voxel_keys(px, py, pz, mask, voxel_size, mins, maxs):
     lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
 
     def coord(p, axis):
-        raw = jnp.floor((p - offsets[axis]) / voxel_size).astype(jnp.int32)
-        return jnp.clip(raw, 0, lens[axis] - 1)  # voxel.c:83-103 semantics
+        return vx.metric_to_voxel_axis(p, voxel_size, lens[axis], offsets[axis])
 
     x, y, z = coord(px, 0), coord(py, 1), coord(pz, 2)
     zy = jnp.where(mask, z * lens[1] + y, _INT_MAX)
@@ -279,8 +278,9 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
 
     # voxel centers from sorted coords, per component (voxel.c:105-114)
     def center(c, axis):
-        c = jnp.where(valid_s, c, 0)
-        return (c.astype(jnp.float32) + 0.5) * voxel_size + offsets[axis]
+        return vx.voxel_to_metric_axis(
+            jnp.where(valid_s, c, 0), voxel_size, offsets[axis]
+        )
 
     v = valid_s.astype(jnp.float32)
     xt = jnp.where(valid_s, pxs - center(x, 0), 0.0)

@@ -83,6 +83,21 @@ def voxel_to_metric_space(coords, voxel_size, offsets):
     return (coords.astype(jnp.float32) + 0.5) * voxel_size + offsets
 
 
+def metric_to_voxel_axis(p, voxel_size, length, offset):
+    """Per-axis metric→voxel coordinate — the structure-of-arrays form of
+    `metric_to_voxel_space` (voxel.c:83-103 semantics: floor + clamp into
+    the grid). The single source for the hot paths, which keep coordinates
+    as compact 1-D component vectors (see ndt._voxel_keys)."""
+    raw = jnp.floor((p - offset) / voxel_size).astype(jnp.int32)
+    return jnp.clip(raw, 0, length - 1)
+
+
+def voxel_to_metric_axis(c, voxel_size, offset):
+    """Per-axis voxel-center — the SoA form of `voxel_to_metric_space`
+    (voxel.c:105-114)."""
+    return (c.astype(jnp.float32) + 0.5) * voxel_size + offset
+
+
 def voxel_pos_to_index(coords, lens):
     """Linearize voxel coords, x-fastest (voxel.c:177-189):
     idx = z*lx*ly + y*lx + x.

@@ -41,7 +41,9 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+from ndtpu.utils.platform import is_tpu
 
 _BIG = jnp.iinfo(jnp.int32).max // 2
 _SUBLANE = 8  # f32 sublane count; window starts align to this
@@ -99,9 +101,15 @@ def _kernel(seg_ref, feats_ref, out_ref, *, block_n, rows, bf16x3):
 
 
 def _bf16x3_enabled() -> bool:
+    """Opt-in (NDTPU_PALLAS_PRECISION=bf16x3): run the one-hot contraction
+    at the MXU's bf16 rate via a 3-way mantissa split. Measured neutral on
+    the canonical workload (the kernel is bandwidth/step-bound, not
+    matmul-bound), differs from the f32 path in low-order bits, and
+    overflows for |values| above bf16 max — so f32 stays the default, in
+    line with the repo's f32-for-parity convention."""
     import os
 
-    return os.environ.get("NDTPU_PALLAS_PRECISION", "bf16x3") == "bf16x3"
+    return os.environ.get("NDTPU_PALLAS_PRECISION", "f32") == "bf16x3"
 
 
 def _call_kernel(feats_flat, seg_flat, rows: int, block_n: int):
@@ -121,7 +129,7 @@ def _call_kernel(feats_flat, seg_flat, rows: int, block_n: int):
         ],
         out_specs=pl.BlockSpec((rows, f), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, f), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=not is_tpu(),
     )(seg_flat.reshape(grid[0], 1, block_n), feats_flat.astype(jnp.float32))
 
 
@@ -248,7 +256,7 @@ def _call_moments_kernel(seg, xt, yt, zt, v, cls, rows: int, block_n: int,
         in_specs=[spec() for _ in range(6)],
         out_specs=pl.BlockSpec((rows, f), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, f), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=not is_tpu(),
     )(
         rs(seg), rs(xt.astype(jnp.float32)), rs(yt.astype(jnp.float32)),
         rs(zt.astype(jnp.float32)), rs(v.astype(jnp.float32)), rs(cls),

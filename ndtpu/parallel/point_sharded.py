@@ -34,8 +34,7 @@ def _keys_soa(px, py, pz, mask, voxel_size, lens, offsets):
     """Fused (zy, x) int32 sort keys per point (see ndt._voxel_keys)."""
 
     def coord(p, axis):
-        raw = jnp.floor((p - offsets[axis]) / voxel_size).astype(jnp.int32)
-        return jnp.clip(raw, 0, lens[axis] - 1)
+        return vx.metric_to_voxel_axis(p, voxel_size, lens[axis], offsets[axis])
 
     x, y, z = coord(px, 0), coord(py, 1), coord(pz, 2)
     zy = jnp.where(mask, z * lens[1] + y, _INT_MAX)
@@ -131,7 +130,7 @@ def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
 
         # voxel centers + shifted coordinates, per component
         def center(c, axis_i):
-            return (c.astype(jnp.float32) + 0.5) * voxel_size + offsets[axis_i]
+            return vx.voxel_to_metric_axis(c, voxel_size, offsets[axis_i])
 
         vz = jnp.where(valid_s, zy // lens[1], 0)
         vy = jnp.where(valid_s, zy % lens[1], 0)

@@ -51,10 +51,9 @@ class TrainConfig:
                 f"--use_pallas must be auto|on|off, got {self.use_pallas!r}"
             )
         if self.use_pallas == "auto":
-            import jax
+            from ndtpu.utils.platform import is_tpu
 
-            plat = jax.devices()[0].platform
-            return plat.startswith("tpu") or plat == "axon"
+            return is_tpu()
         return self.use_pallas == "on"
 
     @classmethod

@@ -4,9 +4,10 @@ device. Each stage is timed with the on-device scan protocol from bench.py
 on the tunneled backend).
 
 Stages (cumulative structure of ndtpu/core/ndt.py::_build_state):
-  sort      — voxel keys + 3-key lexicographic sort + payload gathers
-  moments   — + segment boundary detection, segment_sum, finalize
-  kl        — + 6-neighbor lexicographic search + closed-form KL
+  sort      — voxel keys + payload sort (coords/classes ride as operands)
+  segsum    — + boundary detection and the segment-moment accumulation
+  moments   — + segment starts, voxel keys per segment, finalize
+  kl        — + sorted-adjacency neighbor pairing + closed-form KL
   emit      — + prune ranking and compaction (the full downsample)
 """
 from __future__ import annotations
@@ -32,8 +33,13 @@ def main():
     p.add_argument("--inner", type=int, default=4)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--stages", type=str, default="sort,moments,kl,emit",
-                   help="comma-separated subset of sort,moments,kl,emit")
+                   help="comma-separated subset of "
+                        "sort,segsum,moments,kl,emit")
     args = p.parse_args()
+    known = {"sort", "segsum", "moments", "kl", "emit"}
+    bad = set(args.stages.split(",")) - known
+    if bad:
+        p.error(f"unknown stage(s) {sorted(bad)}; choose from {sorted(known)}")
 
     import jax
     import jax.numpy as jnp
@@ -97,8 +103,9 @@ def main():
             seg = jnp.where(valid_s & (seg < k_max) & (seg >= 0), seg, k_max)
 
             def center(c, axis):
-                c = jnp.where(valid_s, c, 0)
-                return (c.astype(jnp.float32) + 0.5) * vs + offsets[axis]
+                return vx.voxel_to_metric_axis(
+                    jnp.where(valid_s, c, 0), vs, offsets[axis]
+                )
 
             v = valid_s.astype(jnp.float32)
             xt = jnp.where(valid_s, pxs - center(x, 0), 0.0)
