@@ -175,6 +175,71 @@ def bench_components(args):
     }))
 
 
+def bench_multiscale(args):
+    """The reference's multiscale workload (train_multiscale.py:17-29 /
+    ndtnetpp.py:57): fine 8160 / coarse 4080 NDs, batch 4 — two NDT
+    preprocessings plus the NDT-Net++ forward with its mid-forward prune."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpu.models import NDTNetPPSegmentation
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+    B, fine, coarse = 4, 8160, 4080
+    batch = jnp.asarray(make_batch(B, args.n_samples, seed=1))
+    model = NDTNetPPSegmentation(
+        num_classes=args.n_classes, fine_res=fine, coarse_res=coarse,
+        feature_dim=1024,
+    )
+
+    p1, c1, _, _, st1 = ndt_preprocessing_with_state(
+        fine, batch, None, args.n_classes, args.use_pallas, args.search
+    )
+    p2, c2, _, _, _ = ndt_preprocessing_with_state(
+        coarse, batch, None, args.n_classes, args.use_pallas, args.search
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), p1, c1, st1, p2, c2, train=False
+    )
+
+    def pipeline(v, points):
+        q1, d1, _, _, s1 = ndt_preprocessing_with_state(
+            fine, points, None, args.n_classes, args.use_pallas, args.search
+        )
+        q2, d2, _, _, _ = ndt_preprocessing_with_state(
+            coarse, points, None, args.n_classes, args.use_pallas, args.search
+        )
+        return model.apply(v, q1, d1, s1, q2, d2, train=False,
+                           return_logits=True)
+
+    @functools.partial(jax.jit, static_argnames=("inner",))
+    def repeat(v, points, inner: int):
+        def body(carry, _):
+            out = pipeline(v, points + carry * 1e-20)
+            return jnp.sum(out.astype(jnp.float32)), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
+        return total
+
+    float(repeat(variables, batch, args.inner))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        float(repeat(variables, batch, args.inner))
+    dt = (time.perf_counter() - t0) / args.iters / args.inner
+    tput = B / dt
+    print(
+        f"[bench] multiscale per-batch: {dt*1000:.2f} ms on-device; "
+        f"{tput:.2f} clouds/s (batch {B}, fine {fine} / coarse {coarse})",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "multiscale_preprocess_forward_throughput",
+        "value": round(tput, 3),
+        "unit": "clouds/s/chip",
+        "vs_baseline": None,
+    }))
+
+
 def bench_stress(args):
     """The reference's C stress shape (ndt_downsample.c:5-13): one 90k-point
     random cloud -> 24 NDs, the viz.py Hz protocol."""
@@ -235,6 +300,9 @@ def main():
                    help="time search/preprocess/model separately")
     p.add_argument("--stress", action="store_true",
                    help="run the 90k->24 C-harness stress shape instead")
+    p.add_argument("--multiscale", action="store_true",
+                   help="run the NDT-Net++ multiscale workload (fine 8160 / "
+                        "coarse 4080, batch 4)")
     p.add_argument("--streaming", action="store_true",
                    help="streaming regime: voxel sizes searched once, then "
                         "fixed for the timed loop (frame-stream production "
@@ -253,6 +321,9 @@ def main():
         return
     if args.stress:
         bench_stress(args)
+        return
+    if args.multiscale:
+        bench_multiscale(args)
         return
 
     import jax
