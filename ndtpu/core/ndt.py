@@ -16,9 +16,12 @@ pure-Python twin `ndnet/preprocessing/core/ndt.py:121-184`:
 
 Design notes (why this is not a port):
 - No dense ``len_x*len_y*len_z`` grid is ever allocated. Points are keyed by
-  their (z, y, x) voxel coordinates and sorted lexicographically; occupied
-  voxels are the distinct keys. This keeps every shape static for XLA and
-  has no 2^31 grid-size limit.
+  their packed int32 voxel index (the reference's own x-fastest
+  linearization, voxel.c:177-189) and sorted; occupied voxels are the
+  distinct keys. This keeps every shape static for XLA. Voxel sizes are
+  clamped so grids stay under 2^31 cells (_min_packable_voxel_size) — the
+  reference's dense allocation would need >400 GB beyond that, so the
+  envelope is strictly more permissive than the C core's.
 - Counting occupied voxels (the binary-search objective) is a sort + count
   of key transitions — O(N log N) on the VPU, no allocation.
 - Gaussian moments are an associative segment reduction (ndtpu.core.moments)
@@ -57,6 +60,32 @@ MAX_GUESS_ITERATIONS = 15
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
+# Grid-cell budget for the packed int32 voxel key (see _voxel_keys). The
+# sufficient-condition bound in _min_packable_voxel_size splits it in four,
+# so each admitted grid has < 2^31 - 8 cells and every valid key is
+# strictly below INT32_MAX (the padding sentinel).
+_GRID_CELL_BUDGET = float(2**31 - 8)
+
+
+def _min_packable_voxel_size(mins, maxs):
+    """Smallest voxel size whose grid linearizes into one int32 key.
+
+    cells = prod(ceil(d_i/s)) <= prod(d_i/s + 1)
+          = V/s^3 + S2/s^2 + S1/s + 1   (V volume, S2 pairwise, S1 sum).
+    Requiring each term <= budget/4 is sufficient and gives closed-form
+    bounds on s; the max of the three is returned. Clouds needing a grid
+    beyond 2^31 cells are strictly outside the reference's envelope too:
+    its dense per-iteration grid alloc (ndt.c:151, ~200 B/cell) would
+    exceed 400 GB there.
+    """
+    d = jnp.maximum(maxs - mins, 0.0)
+    dx, dy, dz = d[0], d[1], d[2]
+    b4 = jnp.float32(_GRID_CELL_BUDGET / 4.0)
+    s3 = jnp.cbrt(dx * dy * dz / b4)
+    s2 = jnp.sqrt(jnp.maximum(dx * dy, jnp.maximum(dx * dz, dy * dz)) / b4)
+    s1 = (dx + dy + dz) / b4
+    return jnp.maximum(jnp.maximum(s3, s2), s1)
+
 
 class NDTResult(struct.PyTreeNode):
     """Post-downsample sampler state (the jittable analogue of the native
@@ -88,17 +117,50 @@ def max_segments(n_desired: int) -> int:
 
 
 def _voxel_keys(px, py, pz, mask, voxel_size, mins, maxs):
-    """Per-point sort keys from structure-of-arrays coordinates.
+    """Per-point sort key from structure-of-arrays coordinates.
 
     TPU pads the minor dim of narrow 2-D arrays to 128 lanes, so every pass
     over an [N, 3] array costs the bandwidth of [N, 128]; the whole hot path
-    therefore works on three compact [N] component vectors. Returns
-    (zy, x, lens, offsets) where zy fuses the (z, y) key pair into one
-    int32 — zy = z*len_y + y, exact whenever len_z*len_y < 2^31; grids
+    therefore works on compact [N] component vectors. Returns
+    (key, lens, offsets) where key packs the full voxel coordinate into ONE
+    int32 — key = (z*len_y + y)*len_x + x, the reference's own x-fastest
+    linearization (voxel.c:177-189). Exactness is guaranteed by clamping
+    voxel sizes to _min_packable_voxel_size (< 2^31 grid cells); grids
     beyond that would need the reference's dense allocation to exceed
-    ~10^14 bytes, i.e. strictly more permissive than the C core. Masked-out
-    points get INT32_MAX keys (real zy values are << INT32_MAX).
+    ~400 GB, i.e. this is strictly more permissive than the C core. One
+    packed key means the occupancy count sorts a single [N] vector and the
+    moment build needs one key + iota instead of three — sort traffic is
+    the pipeline's dominant cost. Masked-out points get INT32_MAX keys
+    (valid keys are strictly below the sentinel by the budget's margin).
     """
+    lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
+
+    def coord(p, axis):
+        return vx.metric_to_voxel_axis(p, voxel_size, lens[axis], offsets[axis])
+
+    x, y, z = coord(px, 0), coord(py, 1), coord(pz, 2)
+    key = jnp.where(mask, (z * lens[1] + y) * lens[0] + x, _INT_MAX)
+    return key, lens, offsets
+
+
+def _count_occupied(px, py, pz, mask, voxel_size, mins, maxs):
+    """Number of distinct occupied voxels at this voxel size (packed-key
+    fast path: one [N] int32 sort; requires voxel_size inside the
+    int32-packable envelope, which the fast search guarantees by clamping
+    its lower bound)."""
+    key, _, _ = _voxel_keys(px, py, pz, mask, voxel_size, mins, maxs)
+    key = jax.lax.sort(key)
+    valid = key != _INT_MAX
+    diff = jnp.ones_like(valid)
+    diff = diff.at[1:].set(key[1:] != key[:-1])
+    return jnp.sum((valid & diff).astype(jnp.int32))
+
+
+def _count_occupied_pair(px, py, pz, mask, voxel_size, mins, maxs):
+    """Occupancy count via the (zy, x) key PAIR — exact for any grid with
+    len_z*len_y < 2^31, i.e. also at sizes below the packable envelope.
+    The reference-trajectory search uses this so its bisection visits the
+    C core's exact guess sequence (ndt.c:136-187) without clamping."""
     lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
 
     def coord(p, axis):
@@ -107,12 +169,6 @@ def _voxel_keys(px, py, pz, mask, voxel_size, mins, maxs):
     x, y, z = coord(px, 0), coord(py, 1), coord(pz, 2)
     zy = jnp.where(mask, z * lens[1] + y, _INT_MAX)
     x = jnp.where(mask, x, _INT_MAX)
-    return zy, x, lens, offsets
-
-
-def _count_occupied(px, py, pz, mask, voxel_size, mins, maxs):
-    """Number of distinct occupied voxels at this voxel size."""
-    zy, x, _, _ = _voxel_keys(px, py, pz, mask, voxel_size, mins, maxs)
     zy, x = jax.lax.sort((zy, x), num_keys=2)
     valid = zy != _INT_MAX
     diff = jnp.ones_like(valid)
@@ -150,7 +206,9 @@ def _search_voxel_size(px, py, pz, mask, n_desired, mins, maxs):
 
     def body(c):
         done, guess, lo, hi, it, best_g, best_c = c
-        count = _count_occupied(px, py, pz, mask, guess, mins, maxs)
+        # the pair-key count stays exact below the packable envelope, so
+        # the guess sequence matches the C core's bisection unclamped
+        count = _count_occupied_pair(px, py, pz, mask, guess, mins, maxs)
         too_many = count.astype(jnp.float32) > upper
         too_few = count < n_desired
         hit = ~too_many & ~too_few
@@ -184,14 +242,17 @@ def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs):
     upper = n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD)
     target = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD / 2.0))
     size0, _, _ = vx.estimate_voxel_size(n_desired, mins, maxs)
+    lo0 = jnp.maximum(  # int32-packable envelope, see _min_packable_voxel_size
+        jnp.float32(MIN_VOXEL_GUESS), _min_packable_voxel_size(mins, maxs)
+    )
     size0 = jnp.clip(
         jnp.nan_to_num(size0, nan=1.0),
-        MIN_VOXEL_GUESS, MAX_VOXEL_GUESS,
+        lo0, MAX_VOXEL_GUESS,
     )
     init = (
         jnp.array(False),
         size0.astype(jnp.float32),
-        jnp.float32(MIN_VOXEL_GUESS),
+        lo0,
         jnp.float32(MAX_VOXEL_GUESS),
         jnp.int32(0),
         jnp.float32(0.0),
@@ -249,12 +310,12 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
     are only ever materialized inside the Pallas kernel's VMEM.
     """
     n = px.shape[0]
-    zy0, x0, lens, offsets = _voxel_keys(
+    key0, lens, offsets = _voxel_keys(
         px, py, pz, mask, voxel_size, mins, maxs
     )
 
-    # sort fused (zy, x) keys with the original index as a tie-breaking
-    # THIRD key: duplicates get a total order, so downstream f32 segment
+    # sort the packed voxel key with the original index as a tie-breaking
+    # SECOND key: duplicates get a total order, so downstream f32 segment
     # sums accumulate in a fixed association order — bit-deterministic
     # across shardings/layouts (payload-only permutations are not).
     # Coordinates and classes ride along as sort PAYLOAD: a post-hoc
@@ -262,15 +323,28 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
     # orders of magnitude slower than moving payload through the
     # (VMEM-resident) sort network.
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    zy, x, _, pxs, pys, pzs, cls = jax.lax.sort(
-        (zy0, x0, iota, px, py, pz, classes.astype(jnp.int32)), num_keys=3
-    )
-    valid_s = zy != _INT_MAX
-    z = jnp.where(valid_s, zy // lens[1], _INT_MAX)
-    y = jnp.where(valid_s, zy % lens[1], _INT_MAX)
+    # with a single class slot (untagged clouds) the class column is
+    # statically all-zero: its histogram equals the counts, so neither the
+    # sort payload nor the scatter needs to carry it
+    tagged = num_class_slots > 1
+    if tagged:
+        key, _, pxs, pys, pzs, cls = jax.lax.sort(
+            (key0, iota, px, py, pz, classes.astype(jnp.int32)), num_keys=2
+        )
+    else:
+        key, _, pxs, pys, pzs = jax.lax.sort(
+            (key0, iota, px, py, pz), num_keys=2
+        )
+        cls = None
+    valid_s = key != _INT_MAX
+    lxy = lens[0] * lens[1]
+    rem = key % lxy
+    z = jnp.where(valid_s, key // lxy, _INT_MAX)
+    y = jnp.where(valid_s, rem // lens[0], _INT_MAX)
+    x = jnp.where(valid_s, rem % lens[0], _INT_MAX)
 
     new_seg = jnp.ones((n,), bool)
-    new_seg = new_seg.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
+    new_seg = new_seg.at[1:].set(key[1:] != key[:-1])
     new_seg &= valid_s
     seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # [N], -1 only if row0 invalid
     total = seg[-1] + 1  # distinct occupied voxels
@@ -289,8 +363,11 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
 
     mom = segment_moments_soa(
         xt, yt, zt, v, seg, k_max,
-        classes=cls, num_class_slots=num_class_slots, use_pallas=use_pallas,
+        classes=cls, num_class_slots=num_class_slots if tagged else 0,
+        use_pallas=use_pallas,
     )
+    if not tagged:
+        mom["class_hist"] = mom["counts"][:, None]
     # per-segment voxel key: segments are contiguous after the sort, so the
     # key lives at each segment's first row — a k_max-sized gather instead
     # of an N-sized scatter-max (TPU scatters serialize). Boundary positions
@@ -436,7 +513,12 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
     mins = jnp.stack([x0, y0, z0])
     maxs = jnp.stack([x1, y1, z1])
     if fixed_voxel_size is not None:
-        voxel_size = jnp.asarray(fixed_voxel_size, jnp.float32)
+        # clamp into the int32-packable grid envelope (no-op for any size
+        # the search itself could have produced)
+        voxel_size = jnp.maximum(
+            jnp.asarray(fixed_voxel_size, jnp.float32),
+            _min_packable_voxel_size(mins, maxs),
+        )
         converged = jnp.array(True)
     else:
         search_fn = (
@@ -444,6 +526,12 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
         )
         voxel_size, converged = search_fn(
             px, py, pz, mask, n_desired, mins, maxs
+        )
+        # the build's packed int32 keys need the accepted size inside the
+        # grid envelope; a no-op for every realistic cloud (binding only
+        # where the reference's dense grid would exceed ~400 GB)
+        voxel_size = jnp.maximum(
+            voxel_size, _min_packable_voxel_size(mins, maxs)
         )
     state = _build_state(
         px, py, pz, mask, classes, num_class_slots, voxel_size, converged,

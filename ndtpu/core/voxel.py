@@ -103,8 +103,8 @@ def voxel_pos_to_index(coords, lens):
     idx = z*lx*ly + y*lx + x.
 
     int32 range limits this to grids under 2^31 voxels; the NDT pipeline
-    itself (core/ndt.py) sorts on (z, y, x) coordinate tuples instead of
-    linear indices, so it has no such limit.
+    (core/ndt.py) sorts on this same packed key and keeps grids inside the
+    int32 envelope by clamping the voxel size (ndt._min_packable_voxel_size).
     """
     lx, ly = lens[0], lens[1]
     return (

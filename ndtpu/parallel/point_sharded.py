@@ -11,11 +11,13 @@ for KL pruning.
 Table discovery is also collective: each shard finds its local distinct
 voxel keys, all-gathers them, and merges — bounded by the static k_max.
 
-Layout: the per-point work is structure-of-arrays with fused (zy, x) keys,
-and each shard assigns *local* dense segment ranks via its own payload
-sort — the local→global remap then touches only k_max rows (a per-point
-lookup against the global table would be a lane-dim gather, which TPU
-executes pathologically slowly; see CLAUDE.md and ndtpu/core/ndt.py).
+Layout: the per-point work is structure-of-arrays with the packed int32
+voxel key (ndt._voxel_keys — voxel sizes are clamped into the int32-packable
+envelope by the search), and each shard assigns *local* dense segment ranks
+via its own payload sort — the local→global remap then touches only k_max
+rows (a per-point lookup against the global table would be a lane-dim
+gather, which TPU executes pathologically slowly; see CLAUDE.md and
+ndtpu/core/ndt.py).
 """
 from __future__ import annotations
 
@@ -25,31 +27,44 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ndtpu.core import voxel as vx
-from ndtpu.core.kl import lex_search
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
 def _keys_soa(px, py, pz, mask, voxel_size, lens, offsets):
-    """Fused (zy, x) int32 sort keys per point (see ndt._voxel_keys)."""
+    """Packed int32 voxel sort key per point (see ndt._voxel_keys).
+    Requires voxel_size inside the int32-packable envelope (the driver
+    clamps the accepted size before the moment pass)."""
+
+    def coord(p, axis):
+        return vx.metric_to_voxel_axis(p, voxel_size, lens[axis], offsets[axis])
+
+    x, y, z = coord(px, 0), coord(py, 1), coord(pz, 2)
+    return jnp.where(mask, (z * lens[1] + y) * lens[0] + x, _INT_MAX)
+
+
+def _keys_pair(px, py, pz, mask, voxel_size, lens, offsets):
+    """(zy, x) key pair — exact for any len_z*len_y < 2^31 grid, i.e. also
+    below the packable envelope. Used by the occupancy count so the
+    voxel-size search visits the C core's exact bisection sequence
+    unclamped (matches core ndt._count_occupied_pair)."""
 
     def coord(p, axis):
         return vx.metric_to_voxel_axis(p, voxel_size, lens[axis], offsets[axis])
 
     x, y, z = coord(px, 0), coord(py, 1), coord(pz, 2)
     zy = jnp.where(mask, z * lens[1] + y, _INT_MAX)
-    x = jnp.where(mask, x, _INT_MAX)
-    return zy, x
+    return zy, jnp.where(mask, x, _INT_MAX)
 
 
-def _distinct_sorted(zy, x, k_max):
-    """Distinct sorted (zy, x) pairs, padded to k_max with INT32_MAX.
+def _distinct_sorted(key, k_max):
+    """Distinct sorted packed keys, padded to k_max with INT32_MAX.
 
-    Inputs must already be sorted by (zy, x). Returns (tzy, tx, count)."""
-    n = zy.shape[0]
+    Input must already be sorted. Returns (tkey [k_max], count)."""
+    n = key.shape[0]
     new = jnp.ones((n,), bool)
-    new = new.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
-    new &= zy != _INT_MAX
+    new = new.at[1:].set(key[1:] != key[:-1])
+    new &= key != _INT_MAX
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     masked = jnp.where(new, iota, n)
     if k_max > n:
@@ -59,24 +74,25 @@ def _distinct_sorted(zy, x, k_max):
     starts = -jax.lax.top_k(-masked, k_max)[0]
     ok = starts < n
     safe = jnp.minimum(starts, n - 1)
-    tzy = jnp.where(ok, zy[safe], _INT_MAX)
-    tx = jnp.where(ok, x[safe], _INT_MAX)
-    return tzy, tx, jnp.sum(new.astype(jnp.int32))
+    tkey = jnp.where(ok, key[safe], _INT_MAX)
+    return tkey, jnp.sum(new.astype(jnp.int32))
 
 
-def _merge_tables(tzy, tx, k_max):
+def _merge_tables(tkey, k_max):
     """Merge gathered per-shard tables [D, k_max] into one sorted distinct
-    table. Returns (tzy [k_max], tx [k_max], count)."""
-    zy, x = jax.lax.sort((tzy.reshape(-1), tx.reshape(-1)), num_keys=2)
-    return _distinct_sorted(zy, x, k_max)
+    table. Returns (tkey [k_max], count)."""
+    return _distinct_sorted(jax.lax.sort(tkey.reshape(-1)), k_max)
 
 
-def _table_zyx(tzy, tx, lens):
-    """(zy, x) table back to [k_max, 3] (z, y, x) rows for NDTResult/KL."""
-    valid = tzy != _INT_MAX
-    z = jnp.where(valid, tzy // lens[1], _INT_MAX)
-    y = jnp.where(valid, tzy % lens[1], _INT_MAX)
-    return jnp.stack([z, y, jnp.where(valid, tx, _INT_MAX)], axis=1)
+def _table_zyx(tkey, lens):
+    """Packed-key table back to [k_max, 3] (z, y, x) rows for NDTResult/KL."""
+    valid = tkey != _INT_MAX
+    lxy = lens[0] * lens[1]
+    rem = tkey % lxy
+    z = jnp.where(valid, tkey // lxy, _INT_MAX)
+    y = jnp.where(valid, rem // lens[0], _INT_MAX)
+    x = jnp.where(valid, rem % lens[0], _INT_MAX)
+    return jnp.stack([z, y, x], axis=1)
 
 
 def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
@@ -103,27 +119,23 @@ def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
 
         n = pts.shape[0]
         px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
-        zy0, x0 = _keys_soa(px, py, pz, msk, voxel_size, lens, offsets)
+        key0 = _keys_soa(px, py, pz, msk, voxel_size, lens, offsets)
 
         # shard-local payload sort: coordinates/classes ride along (a
         # post-hoc lane gather would dominate the whole pipeline)
         iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-        zy, x, _, pxs, pys, pzs, cls_s = jax.lax.sort(
-            (zy0, x0, iota, px, py, pz, cls.astype(jnp.int32)), num_keys=3
+        key, _, pxs, pys, pzs, cls_s = jax.lax.sort(
+            (key0, iota, px, py, pz, cls.astype(jnp.int32)), num_keys=2
         )
-        valid_s = zy != _INT_MAX
+        valid_s = key != _INT_MAX
 
-        ltzy, ltx, _ = _distinct_sorted(zy, x, k_max)
-        gathered = jax.lax.all_gather(
-            jnp.stack([ltzy, ltx], axis=0), axis
-        )  # [D, 2, k_max]
-        tzy, tx, num_valid = _merge_tables(
-            gathered[:, 0, :], gathered[:, 1, :], k_max
-        )
+        ltkey, _ = _distinct_sorted(key, k_max)
+        gathered = jax.lax.all_gather(ltkey, axis)  # [D, k_max]
+        tkey, num_valid = _merge_tables(gathered, k_max)
 
         # local dense ranks from sorted-run boundaries
         new = jnp.ones((n,), bool)
-        new = new.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
+        new = new.at[1:].set(key[1:] != key[:-1])
         new &= valid_s
         lseg = jnp.cumsum(new.astype(jnp.int32)) - 1
         lseg = jnp.where(valid_s & (lseg >= 0) & (lseg < k_max), lseg, k_max)
@@ -132,9 +144,11 @@ def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
         def center(c, axis_i):
             return vx.voxel_to_metric_axis(c, voxel_size, offsets[axis_i])
 
-        vz = jnp.where(valid_s, zy // lens[1], 0)
-        vy = jnp.where(valid_s, zy % lens[1], 0)
-        vx_ = jnp.where(valid_s, x, 0)
+        lxy = lens[0] * lens[1]
+        rem = key % lxy
+        vz = jnp.where(valid_s, key // lxy, 0)
+        vy = jnp.where(valid_s, rem // lens[0], 0)
+        vx_ = jnp.where(valid_s, rem % lens[0], 0)
         v = valid_s.astype(jnp.float32)
         xt = jnp.where(valid_s, pxs - center(vx_, 0), 0.0)
         yt = jnp.where(valid_s, pys - center(vy, 1), 0.0)
@@ -155,15 +169,17 @@ def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
             axis=1,
         )
 
-        # local rank -> global table row: only k_max queries (not N)
-        lzyx = _table_zyx(ltzy, ltx, lens)
-        gidx, found = lex_search(_table_zyx(tzy, tx, lens), lzyx)
+        # local rank -> global table row: only k_max queries (not N), and
+        # with packed 1-D keys the lookup is a plain searchsorted
+        gidx = jnp.searchsorted(tkey, ltkey, side="left").astype(jnp.int32)
+        found = tkey[jnp.clip(gidx, 0, k_max - 1)] == ltkey
+        found &= ltkey != _INT_MAX
         gidx = jnp.where(found, gidx, k_max)
         acc = jnp.zeros((k_max + 1, lacc.shape[1]), jnp.float32)
         acc = acc.at[gidx].add(lacc, mode="drop")[:k_max]
 
         acc = jax.lax.psum(acc, axis)  # the one collective: exact reduction
-        return _table_zyx(tzy, tx, lens), acc, jnp.minimum(num_valid, k_max)
+        return _table_zyx(tkey, lens), acc, jnp.minimum(num_valid, k_max)
 
     table, acc, num_valid = shard_map(
         local,
@@ -189,16 +205,35 @@ def sharded_count_occupied(mesh: Mesh, points, mask, voxel_size, lens,
     search objective), clipped to k_max."""
 
     def local(pts, msk):
-        zy0, x0 = _keys_soa(
+        zy0, x0 = _keys_pair(
             pts[:, 0], pts[:, 1], pts[:, 2], msk, voxel_size, lens, offsets
         )
         zy, x = jax.lax.sort((zy0, x0), num_keys=2)
-        ltzy, ltx, _ = _distinct_sorted(zy, x, k_max)
+        n = zy.shape[0]
+        new = jnp.ones((n,), bool)
+        new = new.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
+        new &= zy != _INT_MAX
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        masked = jnp.where(new, iota, n)
+        if k_max > n:
+            masked = jnp.concatenate(
+                [masked, jnp.full((k_max - n,), n, jnp.int32)]
+            )
+        starts = -jax.lax.top_k(-masked, k_max)[0]
+        ok = starts < n
+        safe = jnp.minimum(starts, n - 1)
+        ltzy = jnp.where(ok, zy[safe], _INT_MAX)
+        ltx = jnp.where(ok, x[safe], _INT_MAX)
         gathered = jax.lax.all_gather(jnp.stack([ltzy, ltx], axis=0), axis)
-        _, _, num_valid = _merge_tables(
-            gathered[:, 0, :], gathered[:, 1, :], k_max
+        mzy, mx = jax.lax.sort(
+            (gathered[:, 0, :].reshape(-1), gathered[:, 1, :].reshape(-1)),
+            num_keys=2,
         )
-        return jnp.minimum(num_valid, k_max)
+        m = mzy.shape[0]
+        mnew = jnp.ones((m,), bool)
+        mnew = mnew.at[1:].set((mzy[1:] != mzy[:-1]) | (mx[1:] != mx[:-1]))
+        mnew &= mzy != _INT_MAX
+        return jnp.minimum(jnp.sum(mnew.astype(jnp.int32)), k_max)
 
     return shard_map(
         local,
@@ -278,6 +313,11 @@ def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
 
         mins, maxs = vx.pointcloud_limits(points, mask)  # global-view reduce
         voxel_size, converged = search(points, mask, mins, maxs)
+        # packed-key moment pass needs the accepted size inside the int32
+        # grid envelope (same no-op clamp as core ndt_downsample)
+        voxel_size = jnp.maximum(
+            voxel_size, nd._min_packable_voxel_size(mins, maxs)
+        )
         lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
 
         mom = sharded_segment_moments(

@@ -40,13 +40,18 @@ def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
 
     if classes_onehot is not None:
         tags = jnp.argmax(classes_onehot, axis=-1).astype(jnp.int32)
+        ds_slots = slots
     else:
+        # untagged clouds: the single-slot specialization skips the class
+        # column in the hot-path sort/scatter entirely (labels are all 0;
+        # the output one-hot is still expanded to `slots` below)
         tags = jnp.zeros(points.shape[:2], jnp.int32)
+        ds_slots = 1
 
     if fixed_voxel_sizes is None:
         def one(p, cls):
             return ndt_downsample(
-                p, num_nds, None, cls, num_class_slots=slots,
+                p, num_nds, None, cls, num_class_slots=ds_slots,
                 use_pallas=use_pallas, search=search,
             )
 
@@ -56,7 +61,7 @@ def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
     else:
         def one_fixed(p, cls, vs):
             return ndt_downsample(
-                p, num_nds, None, cls, num_class_slots=slots,
+                p, num_nds, None, cls, num_class_slots=ds_slots,
                 use_pallas=use_pallas, search=search, fixed_voxel_size=vs,
             )
 

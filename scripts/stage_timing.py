@@ -83,21 +83,24 @@ def main():
                 px, py, pz, mask, M, mins, maxs
             )
 
-            zy0, x0, lens, offsets = nd._voxel_keys(
+            key0, lens, offsets = nd._voxel_keys(
                 px, py, pz, mask, vs, mins, maxs
             )
             iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-            zy, x, _, pxs, pys, pzs, cls = jax.lax.sort(
-                (zy0, x0, iota, px, py, pz, classes), num_keys=3
+            key, _, pxs, pys, pzs, cls = jax.lax.sort(
+                (key0, iota, px, py, pz, classes), num_keys=2
             )
-            valid_s = zy != nd._INT_MAX
-            z = jnp.where(valid_s, zy // lens[1], nd._INT_MAX)
-            y = jnp.where(valid_s, zy % lens[1], nd._INT_MAX)
+            valid_s = key != nd._INT_MAX
+            lxy = lens[0] * lens[1]
+            rem = key % lxy
+            z = jnp.where(valid_s, key // lxy, nd._INT_MAX)
+            y = jnp.where(valid_s, rem // lens[0], nd._INT_MAX)
+            x = jnp.where(valid_s, rem % lens[0], nd._INT_MAX)
             if stage == "sort":
-                return jnp.sum(pxs) + jnp.sum(zy)
+                return jnp.sum(pxs) + jnp.sum(key)
 
             new_seg = jnp.ones((n,), bool)
-            new_seg = new_seg.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
+            new_seg = new_seg.at[1:].set(key[1:] != key[:-1])
             new_seg &= valid_s
             seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
             seg = jnp.where(valid_s & (seg < k_max) & (seg >= 0), seg, k_max)
