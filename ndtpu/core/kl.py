@@ -82,46 +82,6 @@ def gaussian_kl(mu_p, cov_p, mu_q, cov_q, rel_eps: float = 1e-6):
     return jnp.where(defined, kl, jnp.inf), defined
 
 
-def lex_less(a, b):
-    """Lexicographic a < b for int keys [..., 3] (ordered most→least
-    significant)."""
-    return (
-        (a[..., 0] < b[..., 0])
-        | ((a[..., 0] == b[..., 0]) & (a[..., 1] < b[..., 1]))
-        | (
-            (a[..., 0] == b[..., 0])
-            & (a[..., 1] == b[..., 1])
-            & (a[..., 2] < b[..., 2])
-        )
-    )
-
-
-def lex_search(sorted_keys, queries):
-    """Vectorized lexicographic binary search.
-
-    sorted_keys: [K, 3] int32, lexicographically ascending (pad rows must be
-    INT32_MAX so they sort last). queries: [M, 3]. Returns (idx [M] int32,
-    found [M] bool): position of each query among the keys, valid iff an
-    exact match exists. Replaces the reference's dense-grid neighbor
-    indexing (voxel.c:116-175) for our sparse occupied-voxel table —
-    overflow-free for arbitrarily large grids.
-    """
-    k = sorted_keys.shape[0]
-    m = queries.shape[0]
-    lo = jnp.zeros((m,), jnp.int32)
-    hi = jnp.full((m,), k, jnp.int32)
-    steps = max(1, math.ceil(math.log2(max(k, 2))) + 1)
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        kmid = sorted_keys[jnp.clip(mid, 0, k - 1)]
-        less = lex_less(kmid, queries)
-        lo = jnp.where(less, mid + 1, lo)
-        hi = jnp.where(less, hi, mid)
-    idx = jnp.clip(lo, 0, k - 1)
-    found = (lo < k) & jnp.all(sorted_keys[idx] == queries, axis=-1)
-    return idx, found
-
-
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 

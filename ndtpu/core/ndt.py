@@ -62,29 +62,49 @@ _INT_MAX = jnp.iinfo(jnp.int32).max
 
 # Grid-cell budget for the packed int32 voxel key (see _voxel_keys). The
 # sufficient-condition bound in _min_packable_voxel_size splits it in four,
-# so each admitted grid has < 2^31 - 8 cells and every valid key is
-# strictly below INT32_MAX (the padding sentinel).
-_GRID_CELL_BUDGET = float(2**31 - 8)
+# so each admitted grid has < 2^31 - 1024 cells and every valid key is
+# strictly below INT32_MAX (the padding sentinel); the 1024-cell shave also
+# absorbs f32 rounding of the cbrt/sqrt bounds below.
+_GRID_CELL_BUDGET = float(2**31 - 1024)
 
 
 def _min_packable_voxel_size(mins, maxs):
     """Smallest voxel size whose grid linearizes into one int32 key.
 
     cells = prod(ceil(d_i/s)) <= prod(d_i/s + 1)
-          = V/s^3 + S2/s^2 + S1/s + 1   (V volume, S2 pairwise, S1 sum).
-    Requiring each term <= budget/4 is sufficient and gives closed-form
-    bounds on s; the max of the three is returned. Clouds needing a grid
-    beyond 2^31 cells are strictly outside the reference's envelope too:
-    its dense per-iteration grid alloc (ndt.c:151, ~200 B/cell) would
-    exceed 400 GB there.
+          = V/s^3 + S2/s^2 + S1/s + 1   (V volume, S2 pairwise SUM, S1 sum).
+    Requiring each of the four terms <= budget/4 is sufficient and gives
+    closed-form bounds on s; the max of the three is returned. Clouds
+    needing a grid beyond 2^31 cells are strictly outside the reference's
+    envelope too: its dense per-iteration grid alloc (ndt.c:151,
+    ~200 B/cell) would exceed 400 GB there. For such clouds the search
+    clamps its lower bound here and reports converged=False if that ever
+    binds; key_mode="pair" extends the exact envelope to
+    len_z*len_y < 2^31 grids.
     """
     d = jnp.maximum(maxs - mins, 0.0)
     dx, dy, dz = d[0], d[1], d[2]
     b4 = jnp.float32(_GRID_CELL_BUDGET / 4.0)
     s3 = jnp.cbrt(dx * dy * dz / b4)
-    s2 = jnp.sqrt(jnp.maximum(dx * dy, jnp.maximum(dx * dz, dy * dz)) / b4)
+    # bound the full pairwise SUM (dx*dy + dx*dz + dy*dz)/s^2, not just the
+    # max product — term-wise sufficiency then holds with wide margin
+    s2 = jnp.sqrt((dx * dy + dx * dz + dy * dz) / b4)
     s1 = (dx + dy + dz) / b4
     return jnp.maximum(jnp.maximum(s3, s2), s1)
+
+
+def _min_pair_packable_voxel_size(mins, maxs):
+    """Smallest voxel size for the (zy, x) key PAIR (key_mode="pair"):
+    needs len_z*len_y < 2^31 (zy = z*len_y + y packs into one int32) and
+    len_x < 2^31 (always true at any admissible size). Same term-splitting
+    argument as _min_packable_voxel_size in two dimensions:
+    len_z*len_y <= dz*dy/s^2 + (dz+dy)/s + 1, each term <= budget/3."""
+    d = jnp.maximum(maxs - mins, 0.0)
+    dy, dz = d[1], d[2]
+    b3 = jnp.float32(_GRID_CELL_BUDGET / 3.0)
+    s2 = jnp.sqrt(dz * dy / b3)
+    s1 = (dz + dy) / b3
+    return jnp.maximum(s2, s1)
 
 
 class NDTResult(struct.PyTreeNode):
@@ -96,7 +116,9 @@ class NDTResult(struct.PyTreeNode):
     means: jax.Array        # [K, 3] f32
     covs: jax.Array         # [K, 3, 3] f32
     counts: jax.Array       # [K] i32, 0 = empty slot
-    class_hist: jax.Array   # [K, C+1] i32
+    class_hist: jax.Array   # [K, C+1] i32; untagged clouds
+                            # (num_class_slots == 1) carry [K, 1] (= counts
+                            # column) — argmax over it is class 0 either way
     zyx: jax.Array          # [K, 3] i32 voxel coords (z,y,x), sorted; pad=INT32_MAX
     min_kl: jax.Array       # [K] f32, inf = no valid neighbor pair
     max_kl: jax.Array       # [K] f32, -inf = no valid pair (legacy C order)
@@ -158,9 +180,9 @@ def _count_occupied(px, py, pz, mask, voxel_size, mins, maxs):
 
 def _count_occupied_pair(px, py, pz, mask, voxel_size, mins, maxs):
     """Occupancy count via the (zy, x) key PAIR — exact for any grid with
-    len_z*len_y < 2^31, i.e. also at sizes below the packable envelope.
-    The reference-trajectory search uses this so its bisection visits the
-    C core's exact guess sequence (ndt.c:136-187) without clamping."""
+    len_z*len_y < 2^31, i.e. also at sizes below the single-key packable
+    envelope. Used by the key_mode="pair" search, whose lower clamp is the
+    (much smaller) pair envelope."""
     lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
 
     def coord(p, axis):
@@ -176,12 +198,21 @@ def _count_occupied_pair(px, py, pz, mask, voxel_size, mins, maxs):
     return jnp.sum((valid & diff).astype(jnp.int32))
 
 
-def _search_voxel_size(px, py, pz, mask, n_desired, mins, maxs):
+def _search_voxel_size(px, py, pz, mask, n_desired, mins, maxs,
+                       count_fn=_count_occupied, lo_min=None):
     """Binary search over voxel size (ndt.c:136-187).
 
     Same control flow as the C loop: start at (MAX−MIN)/2, shrink
     [min_guess, max_guess] until the occupied-voxel count lands in
     [n, 1.2n] or 15 iterations pass. Early-exits via while_loop.
+
+    The lower bound is clamped to ``lo_min`` — the exactness envelope of
+    ``count_fn`` — so every count along the trajectory is exact. The driver
+    passes the (zy, x) pair envelope with the pair count, which binds only
+    where the C core's dense grid alloc could not run at all, so the guess
+    sequence matches the C bisection everywhere the C core exists; where
+    the clamp prevents reaching the band the search reports
+    converged=False instead of silently coarsening post-hoc.
 
     Where the reference errors out on non-convergence (ndt.c:191-194 — some
     clouds have no voxel size whose occupied count lands in the band, e.g.
@@ -190,11 +221,17 @@ def _search_voxel_size(px, py, pz, mask, n_desired, mins, maxs):
     superset of the reference behavior, flagged via `converged`.
     """
     upper = n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD)
+    lo0 = jnp.float32(MIN_VOXEL_GUESS)
+    if lo_min is not None:
+        lo0 = jnp.maximum(lo0, lo_min)
+    hi0 = jnp.maximum(jnp.float32(MAX_VOXEL_GUESS), lo0)
     init = (
         jnp.array(False),                                   # done
-        jnp.float32((MAX_VOXEL_GUESS - MIN_VOXEL_GUESS) / 2.0),  # guess
-        jnp.float32(MIN_VOXEL_GUESS),                       # lo
-        jnp.float32(MAX_VOXEL_GUESS),                       # hi
+        jnp.maximum(                                        # guess
+            jnp.float32((MAX_VOXEL_GUESS - MIN_VOXEL_GUESS) / 2.0), lo0
+        ),
+        lo0,                                                # lo
+        hi0,                                                # hi
         jnp.int32(0),                                       # iter
         jnp.float32(0.0),                                   # best guess
         jnp.int32(jnp.iinfo(jnp.int32).max),                # best count >= n
@@ -206,9 +243,9 @@ def _search_voxel_size(px, py, pz, mask, n_desired, mins, maxs):
 
     def body(c):
         done, guess, lo, hi, it, best_g, best_c = c
-        # the pair-key count stays exact below the packable envelope, so
-        # the guess sequence matches the C core's bisection unclamped
-        count = _count_occupied_pair(px, py, pz, mask, guess, mins, maxs)
+        # every guess is >= lo0 >= the key-packing envelope, so the packed
+        # single-key count is exact along the whole trajectory
+        count = count_fn(px, py, pz, mask, guess, mins, maxs)
         too_many = count.astype(jnp.float32) > upper
         too_few = count < n_desired
         hit = ~too_many & ~too_few
@@ -227,7 +264,8 @@ def _search_voxel_size(px, py, pz, mask, n_desired, mins, maxs):
     return final, done
 
 
-def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs):
+def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs,
+                            count_fn=_count_occupied, lo_min=None):
     """Accelerated search: same acceptance band [n, 1.2n] as the reference
     (so results are equally valid), but seeded with the geometric-mean
     estimate (voxel.c:28-59) and iterated with a log-log secant: occupied
@@ -242,18 +280,18 @@ def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs):
     upper = n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD)
     target = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD / 2.0))
     size0, _, _ = vx.estimate_voxel_size(n_desired, mins, maxs)
-    lo0 = jnp.maximum(  # int32-packable envelope, see _min_packable_voxel_size
-        jnp.float32(MIN_VOXEL_GUESS), _min_packable_voxel_size(mins, maxs)
-    )
+    lo0 = jnp.float32(MIN_VOXEL_GUESS)
+    if lo_min is not None:  # key-packing envelope, see _min_packable_voxel_size
+        lo0 = jnp.maximum(lo0, lo_min)
     size0 = jnp.clip(
         jnp.nan_to_num(size0, nan=1.0),
-        lo0, MAX_VOXEL_GUESS,
+        lo0, jnp.maximum(jnp.float32(MAX_VOXEL_GUESS), lo0),
     )
     init = (
         jnp.array(False),
         size0.astype(jnp.float32),
         lo0,
-        jnp.float32(MAX_VOXEL_GUESS),
+        jnp.maximum(jnp.float32(MAX_VOXEL_GUESS), lo0),
         jnp.int32(0),
         jnp.float32(0.0),
         jnp.int32(jnp.iinfo(jnp.int32).max),
@@ -267,7 +305,7 @@ def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs):
 
     def body(c):
         done, guess, lo, hi, it, best_g, best_c, pg, pc = c
-        count = _count_occupied(px, py, pz, mask, guess, mins, maxs)
+        count = count_fn(px, py, pz, mask, guess, mins, maxs)
         countf = count.astype(jnp.float32)
         too_many = countf > upper
         too_few = count < n_desired
@@ -300,22 +338,53 @@ def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs):
     return final, done
 
 
+def _segment_starts(new_seg, iota, n, k_max):
+    """Row indices of the first k_max segment starts, ascending; >= n marks
+    "no such segment". Boundary positions come from sorting masked iotas
+    (jnp.nonzero(size=) would lower to an N-sized scatter, which TPU
+    serializes): rows where new_seg holds keep their ascending position,
+    others sink to n, so the k_max smallest are exactly the starts.
+    top_k is O(N log k) vs a full O(N log^2 N) sort pass. Shared by the
+    single-device build and the point-sharded pipeline."""
+    masked_iota = jnp.where(new_seg, iota, n)
+    if k_max > n:  # static shapes: pad so top_k below is always full
+        masked_iota = jnp.concatenate(
+            [masked_iota, jnp.full((k_max - n,), n, jnp.int32)]
+        )
+    return -jax.lax.top_k(-masked_iota, k_max)[0]
+
+
 def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
-                 converged, mins, maxs, k_max, use_pallas=False):
+                 converged, mins, maxs, k_max, use_pallas=False,
+                 key_mode="packed"):
     """Steps 3-4: sort by voxel key, reduce moments, compute neighbor KLs.
 
     Operates on structure-of-arrays coordinates end to end (see _voxel_keys
     for why): the sort payload, gathers, voxel centers, and shifted
     coordinates are all compact [N] vectors; the 13(+C)-wide moment rows
     are only ever materialized inside the Pallas kernel's VMEM.
+
+    key_mode: "packed" sorts one int32 key (grid must be inside the
+    _min_packable_voxel_size envelope, which the search guarantees);
+    "pair" sorts the (zy, x) key pair — one extra int32 sort column —
+    and is exact out to len_z*len_y < 2^31 grids (dense clusters plus
+    km-scale outliers).
     """
     n = px.shape[0]
-    key0, lens, offsets = _voxel_keys(
-        px, py, pz, mask, voxel_size, mins, maxs
-    )
+    lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
 
-    # sort the packed voxel key with the original index as a tie-breaking
-    # SECOND key: duplicates get a total order, so downstream f32 segment
+    def coord(p, axis):
+        return vx.metric_to_voxel_axis(p, voxel_size, lens[axis], offsets[axis])
+
+    xc, yc, zc = coord(px, 0), coord(py, 1), coord(pz, 2)
+    zy0 = jnp.where(mask, zc * lens[1] + yc, _INT_MAX)
+    if key_mode == "pair":
+        keys = (zy0, jnp.where(mask, xc, _INT_MAX))
+    else:
+        keys = (jnp.where(mask, zy0 * lens[0] + xc, _INT_MAX),)
+
+    # sort the voxel key(s) with the original index as a tie-breaking
+    # LAST key: duplicates get a total order, so downstream f32 segment
     # sums accumulate in a fixed association order — bit-deterministic
     # across shardings/layouts (payload-only permutations are not).
     # Coordinates and classes ride along as sort PAYLOAD: a post-hoc
@@ -327,24 +396,31 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
     # statically all-zero: its histogram equals the counts, so neither the
     # sort payload nor the scatter needs to carry it
     tagged = num_class_slots > 1
-    if tagged:
-        key, _, pxs, pys, pzs, cls = jax.lax.sort(
-            (key0, iota, px, py, pz, classes.astype(jnp.int32)), num_keys=2
-        )
+    payload = (px, py, pz) + ((classes.astype(jnp.int32),) if tagged else ())
+    sorted_cols = jax.lax.sort(
+        keys + (iota,) + payload, num_keys=len(keys) + 1
+    )
+    skeys = sorted_cols[: len(keys)]
+    pxs, pys, pzs = sorted_cols[len(keys) + 1 : len(keys) + 4]
+    cls = sorted_cols[len(keys) + 4] if tagged else None
+    valid_s = skeys[0] != _INT_MAX
+    if key_mode == "pair":
+        zy, x = skeys
+        z = jnp.where(valid_s, zy // lens[1], _INT_MAX)
+        y = jnp.where(valid_s, zy % lens[1], _INT_MAX)
     else:
-        key, _, pxs, pys, pzs = jax.lax.sort(
-            (key0, iota, px, py, pz), num_keys=2
-        )
-        cls = None
-    valid_s = key != _INT_MAX
-    lxy = lens[0] * lens[1]
-    rem = key % lxy
-    z = jnp.where(valid_s, key // lxy, _INT_MAX)
-    y = jnp.where(valid_s, rem // lens[0], _INT_MAX)
-    x = jnp.where(valid_s, rem % lens[0], _INT_MAX)
+        key = skeys[0]
+        lxy = lens[0] * lens[1]
+        rem = key % lxy
+        z = jnp.where(valid_s, key // lxy, _INT_MAX)
+        y = jnp.where(valid_s, rem // lens[0], _INT_MAX)
+        x = jnp.where(valid_s, rem % lens[0], _INT_MAX)
 
-    new_seg = jnp.ones((n,), bool)
-    new_seg = new_seg.at[1:].set(key[1:] != key[:-1])
+    new_seg = jnp.ones((n,), bool).at[1:].set(
+        functools.reduce(
+            jnp.logical_or, [sk[1:] != sk[:-1] for sk in skeys]
+        )
+    )
     new_seg &= valid_s
     seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # [N], -1 only if row0 invalid
     total = seg[-1] + 1  # distinct occupied voxels
@@ -370,19 +446,8 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
         mom["class_hist"] = mom["counts"][:, None]
     # per-segment voxel key: segments are contiguous after the sort, so the
     # key lives at each segment's first row — a k_max-sized gather instead
-    # of an N-sized scatter-max (TPU scatters serialize). Boundary positions
-    # come from sorting masked iotas (jnp.nonzero(size=) would lower to
-    # another N-sized scatter): rows where new_seg holds keep their ascending
-    # position, others sink to n, so the first k_max sorted values are
-    # exactly the segment starts.
-    masked_iota = jnp.where(new_seg, iota, n)
-    if k_max > n:  # static shapes: pad so top_k below is always full
-        masked_iota = jnp.concatenate(
-            [masked_iota, jnp.full((k_max - n,), n, jnp.int32)]
-        )
-    # k_max smallest masked iotas in ascending order = the segment starts;
-    # top_k is O(N log k) vs a full O(N log^2 N) sort pass
-    starts = -jax.lax.top_k(-masked_iota, k_max)[0]
+    # of an N-sized scatter-max (TPU scatters serialize)
+    starts = _segment_starts(new_seg, iota, n, k_max)
     in_range = starts < n
     safe = jnp.minimum(starts, n - 1)
     seg_zyx = jnp.where(
@@ -462,13 +527,14 @@ def _emit(state: NDTResult, n_out: int, prune_order: str = "ascending"):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_desired", "num_class_slots", "use_pallas", "prune_order", "search"
+        "n_desired", "num_class_slots", "use_pallas", "prune_order",
+        "search", "key_mode",
     ),
 )
 def ndt_downsample(points, n_desired: int, mask=None, classes=None,
                    num_class_slots: int = 1, use_pallas: bool = False,
                    prune_order: str = "ascending", search: str = "reference",
-                   fixed_voxel_size=None):
+                   fixed_voxel_size=None, key_mode: str = "packed"):
     """Full NDT downsample of one cloud (ndt_downsample, ndt.c:119-222).
 
     Args:
@@ -485,6 +551,13 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
         clouds share statistics, reuse `state.voxel_size` from a previous
         frame. The prune still trims to exactly n_desired when at least
         n_desired voxels are occupied.
+      key_mode: "packed" (default) keys voxels with one packed int32 —
+        the search's lower bound is clamped to the < 2^31-cell grid
+        envelope, and `converged` is False whenever that clamp prevented
+        reaching the acceptance band (dense cluster + km-scale outlier).
+        "pair" keys voxels with the (zy, x) int32 pair — one extra sort
+        column, exact out to len_z*len_y < 2^31 grids, for clouds where
+        the packed envelope binds.
 
     Returns (pcl [n_desired,3], covs [n_desired,9], labels [n_desired] i32,
     out_mask [n_desired] bool, state: NDTResult).
@@ -512,30 +585,47 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
     (x0, x1), (y0, y1), (z0, z1) = limits(px), limits(py), limits(pz)
     mins = jnp.stack([x0, y0, z0])
     maxs = jnp.stack([x1, y1, z1])
-    if fixed_voxel_size is not None:
-        # clamp into the int32-packable grid envelope (no-op for any size
-        # the search itself could have produced)
-        voxel_size = jnp.maximum(
-            jnp.asarray(fixed_voxel_size, jnp.float32),
-            _min_packable_voxel_size(mins, maxs),
-        )
-        converged = jnp.array(True)
+    if key_mode == "pair":
+        envelope = _min_pair_packable_voxel_size(mins, maxs)
     else:
-        search_fn = (
-            _search_voxel_size_fast if search == "fast" else _search_voxel_size
+        envelope = _min_packable_voxel_size(mins, maxs)
+    if fixed_voxel_size is not None:
+        # clamp into the key-packing envelope (no-op for any size the
+        # search itself could have produced); a binding clamp coarsens
+        # the grid, so it must not report converged (ADVICE r1)
+        requested = jnp.asarray(fixed_voxel_size, jnp.float32)
+        voxel_size = jnp.maximum(requested, envelope)
+        converged = voxel_size <= requested
+    elif search == "fast":
+        # our own trajectory: clamp the lower bound to the build envelope
+        # up front so every guess (and the accepted size) is buildable and
+        # the matching count is exact along the whole trajectory
+        voxel_size, converged = _search_voxel_size_fast(
+            px, py, pz, mask, n_desired, mins, maxs,
+            count_fn=(
+                _count_occupied_pair if key_mode == "pair" else _count_occupied
+            ),
+            lo_min=envelope,
         )
-        voxel_size, converged = search_fn(
-            px, py, pz, mask, n_desired, mins, maxs
+    else:
+        # exact C bisection trajectory (ndt.c:136-187): counts use the
+        # (zy, x) pair key, exact out to len_z*len_y < 2^31 — the lower
+        # clamp to the PAIR envelope binds only where the C core's dense
+        # grid alloc (>400 GB) cannot run at all. The accepted size is
+        # then clamped into the build envelope; if that coarsens the grid,
+        # converged flips to False instead of silently collapsing the
+        # output (ADVICE r1: dense cluster + km-scale GPS outlier).
+        voxel_size, converged = _search_voxel_size(
+            px, py, pz, mask, n_desired, mins, maxs,
+            count_fn=_count_occupied_pair,
+            lo_min=_min_pair_packable_voxel_size(mins, maxs),
         )
-        # the build's packed int32 keys need the accepted size inside the
-        # grid envelope; a no-op for every realistic cloud (binding only
-        # where the reference's dense grid would exceed ~400 GB)
-        voxel_size = jnp.maximum(
-            voxel_size, _min_packable_voxel_size(mins, maxs)
-        )
+        clamped = jnp.maximum(voxel_size, envelope)
+        converged &= clamped <= voxel_size
+        voxel_size = clamped
     state = _build_state(
         px, py, pz, mask, classes, num_class_slots, voxel_size, converged,
-        mins, maxs, k_max, use_pallas=use_pallas,
+        mins, maxs, k_max, use_pallas=use_pallas, key_mode=key_mode,
     )
     pcl, covs, labels, out_mask = _emit(state, n_desired, prune_order)
     return pcl, covs, labels, out_mask, state

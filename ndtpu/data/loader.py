@@ -4,22 +4,37 @@ Replaces the reference's torch DataLoader(num_workers=4, pin_memory)
 (tools/train.py:135-137) with a thread-pooled batch iterator and a
 one-batch-ahead device prefetcher, so host IO/parsing overlaps device
 compute. Under a Mesh the prefetcher places each batch with the given
-sharding (per-host batch sharding for multi-host DP).
+sharding; under multiple processes (jax.distributed) every host loads only
+its slice of each *global* batch and the prefetcher assembles the global
+sharded array via `jax.make_array_from_process_local_data` — the SURVEY.md
+§2.3 per-host input sharding recipe.
 """
 from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import itertools
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import numpy as np
 
 
 def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
                    seed: int = 0, drop_last: bool = True,
-                   num_workers: int = 4) -> Iterator:
-    """Yields tuples of stacked numpy arrays from an indexable dataset."""
+                   num_workers: int = 4, process_id: int = 0,
+                   num_processes: int = 1) -> Iterator:
+    """Yields tuples of stacked numpy arrays from an indexable dataset.
+
+    `batch_size` is the GLOBAL batch size. With num_processes > 1 the
+    shuffle order derives from the same seed on every host, so all hosts
+    agree on the global batch composition; each yields only its
+    `batch_size / num_processes` slice (strided, so any global batch
+    size divisible by num_processes works).
+    """
+    if batch_size % num_processes:
+        raise ValueError(
+            f"global batch_size {batch_size} must divide by "
+            f"num_processes {num_processes}"
+        )
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
@@ -33,34 +48,42 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
             idxs = order[start:start + batch_size]
             if len(idxs) < batch_size and drop_last:
                 return
-            samples = list(pool.map(fetch, idxs))
+            local = idxs[process_id::num_processes]
+            samples = list(pool.map(fetch, local))
             yield tuple(
                 np.stack([s[k] for s in samples]) for k in range(len(samples[0]))
             )
 
 
-def prefetch_to_device(it: Iterable, sharding=None, size: int = 2):
-    """Keep `size` batches in flight on device (double buffering)."""
+def put_global(batch, sharding=None):
+    """Place one (possibly process-local) batch on device.
+
+    Single-process: a plain (sharded) device_put. Multi-process: each leaf
+    is this host's shard of the global batch; the global jax.Array is
+    assembled so jitted SPMD steps see the full batch dimension.
+    """
     import jax
 
-    def put(batch):
-        if sharding is None:
-            return jax.tree_util.tree_map(jax.device_put, batch)
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), batch
-        )
+    if sharding is None:
+        return jax.tree_util.tree_map(jax.device_put, batch)
+    from ndtpu.parallel.mesh import put_with_sharding
 
+    return put_with_sharding(batch, sharding)
+
+
+def prefetch_to_device(it: Iterable, sharding=None, size: int = 2):
+    """Keep `size` batches in flight on device (double buffering)."""
     queue = collections.deque()
     it = iter(it)
     try:
         for _ in range(size):
-            queue.append(put(next(it)))
+            queue.append(put_global(next(it), sharding))
     except StopIteration:
         pass
     while queue:
         out = queue.popleft()
         try:
-            queue.append(put(next(it)))
+            queue.append(put_global(next(it), sharding))
         except StopIteration:
             pass
         yield out

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from ndtpu.models.tnet import TNet
 
+from ndtpu.models.norm import BatchNorm
+
 
 class AdditionalFeatures(enum.Enum):
     NONE = "none"
@@ -37,7 +39,7 @@ class NDTNet(nn.Module):
     @nn.compact
     def __call__(self, points, covariances=None, features=None,
                  train: bool = False):
-        norm = lambda: nn.BatchNorm(  # noqa: E731
+        norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,
         )
@@ -103,7 +105,7 @@ class NDTNetSegmentation(nn.Module):
     @nn.compact
     def __call__(self, points, covariances, train: bool = False,
                  return_logits: bool = False):
-        norm = lambda: nn.BatchNorm(  # noqa: E731
+        norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,
         )

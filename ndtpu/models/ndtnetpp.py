@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from ndtpu.core.ndt import NDTResult, ndt_prune
 from ndtpu.models.ndtnet import AdditionalFeatures, NDTNet
 
+from ndtpu.models.norm import BatchNorm
+
 
 class ResidualConnection(nn.Module):
     """Resize the number of point rows with a dense map over the points axis
@@ -35,7 +37,7 @@ class ResidualConnection(nn.Module):
         """x: [B, in_points, F] -> [B, out_points, F]."""
         h = jnp.swapaxes(x, 1, 2)  # [B, F, in_points]
         h = nn.Dense(self.out_points, dtype=self.dtype)(h)
-        h = nn.BatchNorm(
+        h = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,
         )(h)  # normalizes each output point-row over (B, F), like BN1d(:19)
@@ -93,7 +95,7 @@ class NDTNetPP(nn.Module):
 
         # MERGE (:129-132)
         feat = feat1_ + feat2
-        feat = nn.BatchNorm(
+        feat = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,
         )(nn.Dense(self.feature_dim, dtype=self.dtype)(feat))
@@ -140,7 +142,7 @@ class NDTNetPPSegmentation(nn.Module):
     @nn.compact
     def __call__(self, points1, covariances1, state1, points2, covariances2,
                  train: bool = False, return_logits: bool = False):
-        norm = lambda: nn.BatchNorm(  # noqa: E731
+        norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,
         )

@@ -1,0 +1,67 @@
+"""BatchNorm with the torch reference's running-statistics semantics.
+
+The reference models use torch `nn.BatchNorm1d` throughout
+(ndnet/models/pointnet.py, ndtnet.py, ndtnetpp.py). Two conventions differ
+from `flax.linen.BatchNorm` and matter for accuracy parity after training:
+
+  1. torch updates `running_var` with the UNBIASED batch variance
+     (Bessel's n/(n-1)) while normalizing the batch itself with the biased
+     one. For the TNet FC BatchNorms the reduction count is just the batch
+     size (e.g. 8), so flax's biased running var sits ~12% low — a
+     systematic train/eval skew vs. the reference.
+  2. torch's `momentum=0.1` means `running = 0.9*running + 0.1*batch`;
+     this module's `momentum` is the decay (0.9), matching that.
+
+The class is deliberately named `BatchNorm` so flax auto-naming yields the
+same `BatchNorm_N` parameter paths as before — torch-checkpoint migration
+(ndtpu.interop) and existing ndtpu checkpoints stay compatible
+(params: scale/bias; batch_stats: mean/var).
+
+Cross-replica behavior: batch statistics are plain `jnp.mean` over the
+leading axes, so under pjit/GSPMD with a batch-sharded input XLA computes
+the GLOBAL batch statistics (collectives inserted automatically) — the
+cross-replica BN that SURVEY.md §7 calls for, with no axis_name plumbing.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BatchNorm(nn.Module):
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            # biased variance normalizes the batch (torch does the same)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = int(np.prod([x.shape[a] for a in axes]))
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 
 from ndtpu.models.tnet import TNet
 
+from ndtpu.models.norm import BatchNorm
+
 
 class PointNet(nn.Module):
     """Backbone: returns (features [B, N, feature_dim], x_t2 [B, N, 64])."""
@@ -24,7 +26,7 @@ class PointNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda: nn.BatchNorm(  # noqa: E731
+        norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,
         )
@@ -77,7 +79,7 @@ class PointNetSegmentation(nn.Module):
 
     @nn.compact
     def __call__(self, points, train: bool = False, return_logits: bool = False):
-        norm = lambda: nn.BatchNorm(  # noqa: E731
+        norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,
         )

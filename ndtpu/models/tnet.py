@@ -8,7 +8,10 @@ identity matrix. Layout here is channels-last; convs become Dense.
 from __future__ import annotations
 
 import flax.linen as nn
+
 import jax.numpy as jnp
+
+from ndtpu.models.norm import BatchNorm
 
 
 class TNet(nn.Module):
@@ -18,7 +21,7 @@ class TNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: [B, N, in_dim] -> transform [B, in_dim, in_dim]."""
-        norm = lambda: nn.BatchNorm(  # noqa: E731
+        norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype,
         )

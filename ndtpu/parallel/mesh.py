@@ -57,12 +57,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree, axis: str = "data"):
-    """device_put a pytree of host arrays with dim 0 sharded over `axis`."""
-    sh = batch_sharding(mesh, axis)
+def put_with_sharding(tree, sh: NamedSharding):
+    """Place a pytree of host arrays with sharding `sh`. Multi-process:
+    each leaf is this process's local shard of the global array (for a
+    replicated sharding, the full array — identical on every host) and the
+    global jax.Array is assembled via make_array_from_process_local_data."""
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Place a pytree of host batches with dim 0 sharded over `axis`
+    (multi-process: each host contributes its local slice)."""
+    return put_with_sharding(tree, batch_sharding(mesh, axis))
 
 
 def replicate(mesh: Mesh, tree):
-    sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return put_with_sharding(tree, replicated(mesh))

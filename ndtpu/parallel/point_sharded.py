@@ -61,17 +61,14 @@ def _distinct_sorted(key, k_max):
     """Distinct sorted packed keys, padded to k_max with INT32_MAX.
 
     Input must already be sorted. Returns (tkey [k_max], count)."""
+    from ndtpu.core.ndt import _segment_starts
+
     n = key.shape[0]
     new = jnp.ones((n,), bool)
     new = new.at[1:].set(key[1:] != key[:-1])
     new &= key != _INT_MAX
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    masked = jnp.where(new, iota, n)
-    if k_max > n:
-        masked = jnp.concatenate(
-            [masked, jnp.full((k_max - n,), n, jnp.int32)]
-        )
-    starts = -jax.lax.top_k(-masked, k_max)[0]
+    starts = _segment_starts(new, iota, n, k_max)
     ok = starts < n
     safe = jnp.minimum(starts, n - 1)
     tkey = jnp.where(ok, key[safe], _INT_MAX)
@@ -205,6 +202,8 @@ def sharded_count_occupied(mesh: Mesh, points, mask, voxel_size, lens,
     search objective), clipped to k_max."""
 
     def local(pts, msk):
+        from ndtpu.core.ndt import _segment_starts
+
         zy0, x0 = _keys_pair(
             pts[:, 0], pts[:, 1], pts[:, 2], msk, voxel_size, lens, offsets
         )
@@ -214,12 +213,7 @@ def sharded_count_occupied(mesh: Mesh, points, mask, voxel_size, lens,
         new = new.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
         new &= zy != _INT_MAX
         iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-        masked = jnp.where(new, iota, n)
-        if k_max > n:
-            masked = jnp.concatenate(
-                [masked, jnp.full((k_max - n,), n, jnp.int32)]
-            )
-        starts = -jax.lax.top_k(-masked, k_max)[0]
+        starts = _segment_starts(new, iota, n, k_max)
         ok = starts < n
         safe = jnp.minimum(starts, n - 1)
         ltzy = jnp.where(ok, zy[safe], _INT_MAX)

@@ -35,6 +35,11 @@ def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
     search entirely (one voxelization per cloud). For streaming workloads
     where consecutive frames share statistics, feed back
     ``state.voxel_size`` from an earlier batch.
+
+    Note: when ``classes_onehot`` is None the returned state's
+    ``class_hist`` is the untagged [B, K, 1] counts column regardless of
+    ``num_classes`` (see NDTResult) — only the returned one-hot is
+    expanded to ``num_classes + 1`` slots.
     """
     slots = num_classes + 1
 

@@ -44,6 +44,13 @@ class TrainConfig:
     seed: int = 0
     steps_per_epoch: Optional[int] = None  # derived from dataset when None
 
+    # multi-host (jax.distributed.initialize; SURVEY.md §2.3 DP row).
+    # Leave num_processes at 1 for single-host; on each host pass
+    # --coordinator host0:port --num_processes P --process_id i.
+    coordinator: Optional[str] = None
+    num_processes: int = 1
+    process_id: int = 0
+
     def resolve_use_pallas(self) -> bool:
         """auto -> the fused Pallas segment-sum on TPU, XLA path elsewhere."""
         if self.use_pallas not in ("auto", "on", "off"):
@@ -63,19 +70,29 @@ class TrainConfig:
         pointnet trainer's n_samples=4160, train_pointnet.py:16-27) but
         stay overridable on the command line."""
         import argparse
+        import typing
+
+        # resolve the real annotation types (fields carry strings under
+        # `from __future__ import annotations`); Optional[T] unwraps to T
+        hints = typing.get_type_hints(cls)
+
+        def base_type(t):
+            args = [a for a in typing.get_args(t) if a is not type(None)]
+            return args[0] if args else t
 
         parser = argparse.ArgumentParser()
         for f in dataclasses.fields(cls):
             default = default_overrides.get(f.name, f.default)
-            t = f.type if isinstance(f.type, str) else getattr(f.type, "__name__", "str")
-            if "int" in t:
-                parser.add_argument(f"--{f.name}", type=int, default=default)
-            elif "float" in t:
-                parser.add_argument(f"--{f.name}", type=float, default=default)
-            elif "bool" in t:
+            t = base_type(hints[f.name])
+            if t is bool:
+                # --flag / --no-flag, so a default override of True can
+                # still be disabled on the command line
                 parser.add_argument(
-                    f"--{f.name}", action="store_true", default=default
+                    f"--{f.name}", action=argparse.BooleanOptionalAction,
+                    default=default,
                 )
+            elif t in (int, float, str):
+                parser.add_argument(f"--{f.name}", type=t, default=default)
             else:
                 parser.add_argument(f"--{f.name}", type=str, default=default)
         ns = parser.parse_args(argv)

@@ -25,8 +25,12 @@ def profile_trace(log_dir: str = "/tmp/ndtpu_trace"):
 
 @contextlib.contextmanager
 def timed(label: str = "", sync=None):
-    """Wall-clock timer that blocks on `sync` (array or pytree) before
-    stopping the clock, so async dispatch doesn't lie."""
+    """Wall-clock timer that blocks on `sync` before stopping the clock, so
+    async dispatch doesn't lie. `sync` may be an array/pytree, or a
+    zero-arg callable resolved at exit (for values produced inside the
+    block). On the tunneled TPU backend block_until_ready itself returns
+    early (CLAUDE.md) — there, prefer a scalar float() readback as the
+    last statement of the block; this timer is exact on CPU/GPU/real-TPU."""
     import jax
 
     t0 = time.perf_counter()
@@ -34,8 +38,9 @@ def timed(label: str = "", sync=None):
     try:
         yield box
     finally:
-        if sync is not None:
-            jax.block_until_ready(sync)
+        target = sync() if callable(sync) else sync
+        if target is not None:
+            jax.block_until_ready(target)
         box["seconds"] = time.perf_counter() - t0
         if label:
             print(f"[timed] {label}: {box['seconds']:.4f}s "

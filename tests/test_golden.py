@@ -33,3 +33,90 @@ def test_golden_downsample():
     np.testing.assert_array_equal(
         np.asarray(state.counts)[:8], [137, 158, 126, 63, 21, 63, 109, 91]
     )
+
+
+def test_golden_variants():
+    """Pins for the sampler's behavioral variants (VERDICT r1 weak #6):
+    prune_order="legacy_c" (kullback_leibler.c:181-195 + ndt.c:49-67
+    descending removal), search="fast" (same acceptance band, different
+    trajectory), and fixed_voxel_size streaming. Regenerate after an
+    intentional semantic change with the snippet in this file's history."""
+    pts = jnp.asarray(
+        clustered_cloud(2000, n_clusters=32, extent=8.0, scale=0.3, seed=42)
+    )
+
+    def pin(kw, voxel, valid, pcl_sum, covs_sum, row0):
+        pcl, covs, labels, mask, state = ndt_downsample(pts, 20, **kw)
+        assert float(state.voxel_size) == np.float32(voxel)
+        assert int(state.num_valid) == valid
+        assert int(mask.sum()) == 20
+        np.testing.assert_allclose(
+            float(np.asarray(pcl).sum()), pcl_sum, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(covs).sum()), covs_sum, rtol=1e-4
+        )
+        np.testing.assert_allclose(np.asarray(pcl)[0], row0, rtol=1e-6)
+
+    pin(dict(prune_order="legacy_c"), 5.629374980926514, 23,
+        -4.361214637756348, 45.176876068115234,
+        [1.1183464527130127, -4.586442470550537, -6.656826496124268])
+    pin(dict(search="fast"), 5.766883850097656, 23,
+        14.894649505615234, 45.82088851928711,
+        [1.3225412368774414, -4.736262798309326, -6.417021751403809])
+    pin(dict(fixed_voxel_size=jnp.float32(4.0)), 4.0, 32,
+        -23.12175750732422, 21.647451400756836,
+        [1.6927257776260376, -5.283073902130127, -5.906319618225098])
+
+
+def test_golden_ndtnetpp_forward():
+    """Numeric pin for NDT-Net++ (VERDICT r1 item 5): full-model torch
+    parity is impossible (the reference forward is unrunnable, SURVEY.md
+    §2.4), so the multiscale forward gets its own golden — seeded init,
+    fixed clouds through the real two-resolution NDT preprocessing,
+    pinned logit sums. Reference: ndnet/models/ndtnetpp.py:55-240."""
+    import jax
+
+    from ndtpu.models import NDTNetPPClassification, NDTNetPPSegmentation
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+    B, N, C = 2, 512, 4
+    fine, coarse = 24, 12
+    clouds = jnp.asarray(np.stack([
+        clustered_cloud(N, n_clusters=16, extent=6.0, scale=0.3, seed=100 + i)
+        for i in range(B)
+    ]))
+    p1, c1, _, _, st1 = ndt_preprocessing_with_state(fine, clouds, None, C)
+    p2, c2, _, _, _ = ndt_preprocessing_with_state(coarse, clouds, None, C)
+
+    seg = NDTNetPPSegmentation(
+        num_classes=C, fine_res=fine, coarse_res=coarse, feature_dim=32
+    )
+    v = seg.init(jax.random.PRNGKey(3), p1, c1, st1, p2, c2, train=False)
+    out = np.asarray(
+        seg.apply(v, p1, c1, st1, p2, c2, train=False, return_logits=True)
+    )
+    assert out.shape == (B, fine, C + 1)
+    np.testing.assert_allclose(float(out.sum()), -77743.25, rtol=1e-4)
+    np.testing.assert_allclose(float(np.abs(out).sum()), 105428.78125,
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        out[0, 0],
+        [656.5616455078125, -203.0919189453125, -2166.845703125,
+         -1183.697021484375, -230.94886779785156], rtol=1e-4,
+    )
+
+    cls = NDTNetPPClassification(
+        num_classes=C, fine_res=fine, coarse_res=coarse, feature_dim=32
+    )
+    vc = cls.init(jax.random.PRNGKey(4), p1, c1, st1, p2, c2, train=False)
+    outc = np.asarray(
+        cls.apply(vc, p1, c1, st1, p2, c2, train=False, return_logits=True)
+    )
+    assert outc.shape == (B, C)
+    np.testing.assert_allclose(float(outc.sum()), -6566.52392578125, rtol=1e-4)
+    np.testing.assert_allclose(
+        outc[0],
+        [-1239.8121337890625, -648.0266723632812, -215.77313232421875,
+         -1296.079833984375], rtol=1e-4,
+    )

@@ -1,10 +1,45 @@
 """KL divergence vs. a float64 NumPy oracle implementing the reference
 formula (kullback_leibler.c:115 / core/kullback_leibler.py:55-62), including
 its +ln(det p / det q) sign quirk."""
+import math
+
 import jax.numpy as jnp
 import numpy as np
 
-from ndtpu.core.kl import det3, adjugate3, gaussian_kl, lex_search, neighbor_min_kl
+from ndtpu.core.kl import det3, adjugate3, gaussian_kl, neighbor_min_kl
+
+
+def lex_less(a, b):
+    """Lexicographic a < b for int keys [..., 3] (most→least significant)."""
+    return (
+        (a[..., 0] < b[..., 0])
+        | ((a[..., 0] == b[..., 0]) & (a[..., 1] < b[..., 1]))
+        | (
+            (a[..., 0] == b[..., 0])
+            & (a[..., 1] == b[..., 1])
+            & (a[..., 2] < b[..., 2])
+        )
+    )
+
+
+def lex_search(sorted_keys, queries):
+    """Vectorized lexicographic binary search (test oracle for locating
+    voxel keys in the sorted occupied table; the production pipeline moved
+    to adjacency sorts / searchsorted, so this lives with its test)."""
+    k = sorted_keys.shape[0]
+    m = queries.shape[0]
+    lo = jnp.zeros((m,), jnp.int32)
+    hi = jnp.full((m,), k, jnp.int32)
+    steps = max(1, math.ceil(math.log2(max(k, 2))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        kmid = sorted_keys[jnp.clip(mid, 0, k - 1)]
+        less = lex_less(kmid, queries)
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    idx = jnp.clip(lo, 0, k - 1)
+    found = (lo < k) & jnp.all(sorted_keys[idx] == queries, axis=-1)
+    return idx, found
 
 
 def reference_kl(mu_p, cov_p, mu_q, cov_q):

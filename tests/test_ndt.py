@@ -246,3 +246,58 @@ def test_n_desired_exceeding_cloud_size():
     # every emitted ND is one of the occupied voxels (all 16 points distinct)
     kept = np.asarray(pcl)[np.asarray(mask)]
     assert kept.shape[0] == int(state.num_valid) or kept.shape[0] == 16
+
+
+def _outlier_cloud():
+    """Dense 1 m cluster plus one 4 km GPS-glitch outlier: the grid that
+    resolves the cluster has > 2^31 cells (unbuildable with one packed int32
+    key) while len_z*len_y stays < 2^31 (buildable with the (zy, x) pair)."""
+    rng = np.random.default_rng(23)
+    pts = rng.uniform(0.0, 1.0, size=(4096, 3)).astype(np.float32)
+    return np.concatenate(
+        [pts, np.array([[4000.0, 4000.0, 4000.0]], np.float32)]
+    )
+
+
+def test_outlier_cloud_packed_reports_unconverged():
+    # ADVICE r1 (high): the packed-key search must clamp its lower bound to
+    # the buildable envelope and report converged=False instead of accepting
+    # an unbuildable size and silently coarsening post-hoc.
+    pts = jnp.asarray(_outlier_cloud())
+    pcl, covs, labels, mask, state = ndt_downsample(pts, 64)
+    assert not bool(state.converged)
+    # the emitted NDs are consistent with the REPORTED voxel size (coarse
+    # grid -> only a handful of occupied voxels), not with a phantom finer one
+    assert int(state.num_valid) == int(mask.sum()) < 64
+
+
+def test_outlier_cloud_pair_mode_converges():
+    # key_mode="pair" extends the exact envelope to len_z*len_y < 2^31 grids:
+    # the same cloud lands in the acceptance band and yields all 64 NDs.
+    pts = jnp.asarray(_outlier_cloud())
+    pcl, covs, labels, mask, state = ndt_downsample(pts, 64, key_mode="pair")
+    assert bool(state.converged)
+    assert int(mask.sum()) == 64
+    # the outlier voxel contains exactly one point: its ND mean is the point
+    kept = np.asarray(pcl)[np.asarray(mask)]
+    d = np.linalg.norm(kept - np.array([4000.0, 4000.0, 4000.0]), axis=1)
+    assert d.min() < 1e-2
+
+
+def test_pair_mode_matches_packed_on_ordinary_cloud():
+    rng = np.random.default_rng(29)
+    pts = jnp.asarray(rng.normal(size=(512, 3)).astype(np.float32) * 2.0)
+    a = ndt_downsample(pts, 24)
+    b = ndt_downsample(pts, 24, key_mode="pair")
+    for xa, xb in zip(a[:4], b[:4]):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_fixed_voxel_size_clamp_flags_unconverged():
+    pts = jnp.asarray(_outlier_cloud())
+    # requesting a size below the packed envelope gets clamped -> flagged
+    out = ndt_downsample(pts, 64, fixed_voxel_size=jnp.float32(0.3))
+    assert not bool(out[4].converged)
+    # an in-envelope request stays converged
+    out2 = ndt_downsample(pts, 64, fixed_voxel_size=jnp.float32(8.0))
+    assert bool(out2[4].converged)

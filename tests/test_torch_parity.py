@@ -1,111 +1,38 @@
 """Numerical parity against the torch reference models.
 
 Loads the reference model code from /root/reference (read-only, import-time
-ctypes dependency stubbed), copies its randomly-initialized weights into the
-flax models, and checks forward outputs agree. This pins the architecture
-(layer sizes, transform application order, BN placement, activation quirks)
-far harder than shape tests.
-
-Weight mapping: torch Conv1d(k=1).weight [out,in,1] -> Dense kernel [in,out];
-Linear.weight [out,in] -> kernel [in,out]; BatchNorm1d -> BatchNorm
-scale/bias (+ running stats). Eval mode on both sides (running stats:
-mean 0, var 1 at init).
+ctypes dependency stubbed), migrates its randomly-initialized weights into
+the flax models via ndtpu.interop.torch_weights, and checks forward outputs
+agree. This pins the architecture (layer sizes, transform application order,
+BN placement, activation quirks) far harder than shape tests — and
+simultaneously proves the checkpoint-migration path users take when
+switching from the reference.
 """
-import importlib.util
-import sys
-import types
-
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
+from ndtpu.interop import (  # noqa: E402
+    map_ndtnet_classification,
+    map_ndtnet_segmentation,
+    map_pointnet_classification,
+    map_pointnet_segmentation,
+    map_residual_connection,
+    map_tnet,
+)
+from ndtpu.interop.reference_loader import load_reference_module  # noqa: E402
+
 REF = "/root/reference/ndnet/models"
-
-
-def load_reference_module(name, path):
-    """Import a reference model file with its ndt_legacy ctypes import
-    stubbed (libndnet.so does not exist in this image)."""
-    if "ndnet" not in sys.modules:
-        pkg = types.ModuleType("ndnet")
-        pkg.__path__ = ["/root/reference/ndnet"]
-        sys.modules["ndnet"] = pkg
-        pre = types.ModuleType("ndnet.preprocessing")
-        pre.__path__ = ["/root/reference/ndnet/preprocessing"]
-        sys.modules["ndnet.preprocessing"] = pre
-        legacy = types.ModuleType("ndnet.preprocessing.ndt_legacy")
-        legacy.NDT_Sampler = object
-        sys.modules["ndnet.preprocessing.ndt_legacy"] = legacy
-        models = types.ModuleType("ndnet.models")
-        models.__path__ = [REF]
-        sys.modules["ndnet.models"] = models
-    spec = importlib.util.spec_from_file_location(f"ndnet.models.{name}", path)
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[f"ndnet.models.{name}"] = mod
-    spec.loader.exec_module(mod)
-    return mod
 
 
 def t2np(t):
     return t.detach().cpu().numpy()
 
 
-def conv_kernel(conv):
-    return t2np(conv.weight)[:, :, 0].T  # [in, out]
-
-
-def linear_kernel(lin):
-    return t2np(lin.weight).T
-
-
-def map_tnet(t_tnet):
-    """torch TNet -> flax TNet param/batch_stats dicts."""
-    params = {}
-    stats = {}
-    convs = [t_tnet.conv1, t_tnet.conv2, t_tnet.conv3]
-    fcs = [t_tnet.fc1, t_tnet.fc2, t_tnet.fc3]
-    bns = [t_tnet.bn1, t_tnet.bn2, t_tnet.bn3, t_tnet.bn4, t_tnet.bn5]
-    for i, c in enumerate(convs):
-        params[f"Dense_{i}"] = {
-            "kernel": conv_kernel(c), "bias": t2np(c.bias)
-        }
-    for i, l in enumerate(fcs):
-        params[f"Dense_{i + 3}"] = {
-            "kernel": linear_kernel(l), "bias": t2np(l.bias)
-        }
-    for i, b in enumerate(bns):
-        params[f"BatchNorm_{i}"] = {
-            "scale": t2np(b.weight), "bias": t2np(b.bias)
-        }
-        stats[f"BatchNorm_{i}"] = {
-            "mean": t2np(b.running_mean), "var": t2np(b.running_var)
-        }
-    return params, stats
-
-
-def map_backbone(t_net):
-    """torch PointNet/NDTNet backbone -> flax params/stats (shared layout:
-    TNet_0, TNet_1, Dense_0..2, BatchNorm_0..2)."""
-    params, stats = {}, {}
-    p, s = map_tnet(t_net.t1)
-    params["TNet_0"], stats["TNet_0"] = p, s
-    p, s = map_tnet(t_net.t2)
-    params["TNet_1"], stats["TNet_1"] = p, s
-    for i, c in enumerate([t_net.conv1, t_net.conv2, t_net.conv3]):
-        params[f"Dense_{i}"] = {"kernel": conv_kernel(c), "bias": t2np(c.bias)}
-    for i, b in enumerate([t_net.bn1, t_net.bn2, t_net.bn3]):
-        params[f"BatchNorm_{i}"] = {
-            "scale": t2np(b.weight), "bias": t2np(b.bias)
-        }
-        stats[f"BatchNorm_{i}"] = {
-            "mean": t2np(b.running_mean), "var": t2np(b.running_var)
-        }
-    return params, stats
-
-
 @pytest.mark.slow
 def test_tnet_parity():
-    ref = load_reference_module("pointnet", f"{REF}/pointnet.py")
+    ref = load_reference_module("pointnet", REF)
     torch.manual_seed(0)
     t_tnet = ref.TNet(in_dim=3).eval()
 
@@ -129,7 +56,7 @@ def test_tnet_parity():
 
 @pytest.mark.slow
 def test_pointnet_segmentation_parity():
-    ref = load_reference_module("pointnet", f"{REF}/pointnet.py")
+    ref = load_reference_module("pointnet", REF)
     torch.manual_seed(1)
     t_model = ref.PointNetSegmentation(
         point_dim=3, num_classes=5, feature_dim=64
@@ -139,28 +66,13 @@ def test_pointnet_segmentation_parity():
 
     from ndtpu.models import PointNetSegmentation
 
-    bb_params, bb_stats = map_backbone(t_model.feature_extractor)
-    params = {"PointNet_0": bb_params}
-    stats = {"PointNet_0": bb_stats}
-    for i, c in enumerate(
-        [t_model.conv1, t_model.conv2, t_model.conv3, t_model.conv4]
-    ):
-        params[f"Dense_{i}"] = {"kernel": conv_kernel(c), "bias": t2np(c.bias)}
-    for i, b in enumerate([t_model.bn1, t_model.bn2, t_model.bn3]):
-        params[f"BatchNorm_{i}"] = {
-            "scale": t2np(b.weight), "bias": t2np(b.bias)
-        }
-        stats[f"BatchNorm_{i}"] = {
-            "mean": t2np(b.running_mean), "var": t2np(b.running_var)
-        }
-
+    variables = map_pointnet_segmentation(t_model)
     x = np.random.default_rng(1).normal(size=(2, 33, 3)).astype(np.float32)
     with torch.no_grad():
         t_out = t2np(t_model(torch.tensor(x)))  # [B, N, C+1] log-probs
     j_out = np.asarray(
         PointNetSegmentation(num_classes=5, feature_dim=64).apply(
-            {"params": params, "batch_stats": stats}, jnp.asarray(x),
-            train=False,
+            variables, jnp.asarray(x), train=False,
         )
     )
     np.testing.assert_allclose(j_out, t_out, rtol=1e-3, atol=1e-4)
@@ -168,7 +80,7 @@ def test_pointnet_segmentation_parity():
 
 @pytest.mark.slow
 def test_pointnet_classification_parity():
-    ref = load_reference_module("pointnet", f"{REF}/pointnet.py")
+    ref = load_reference_module("pointnet", REF)
     torch.manual_seed(3)
     t_model = ref.PointNetClassification(
         point_dim=3, num_classes=7, feature_dim=64
@@ -178,19 +90,13 @@ def test_pointnet_classification_parity():
 
     from ndtpu.models import PointNetClassification
 
-    bb_params, bb_stats = map_backbone(t_model.feature_extractor)
-    params = {"PointNet_0": bb_params}
-    stats = {"PointNet_0": bb_stats}
-    for i, c in enumerate([t_model.conv1, t_model.conv2, t_model.conv3]):
-        params[f"Dense_{i}"] = {"kernel": conv_kernel(c), "bias": t2np(c.bias)}
-
+    variables = map_pointnet_classification(t_model)
     x = np.random.default_rng(3).normal(size=(2, 29, 3)).astype(np.float32)
     with torch.no_grad():
         t_out = t2np(t_model(torch.tensor(x)))[:, :, 0]  # [B, C, 1] -> [B, C]
     j_out = np.asarray(
         PointNetClassification(num_classes=7, feature_dim=64).apply(
-            {"params": params, "batch_stats": stats}, jnp.asarray(x),
-            train=False,
+            variables, jnp.asarray(x), train=False,
         )
     )
     np.testing.assert_allclose(j_out, t_out, rtol=1e-3, atol=1e-4)
@@ -198,7 +104,7 @@ def test_pointnet_classification_parity():
 
 @pytest.mark.slow
 def test_ndtnet_classification_parity():
-    ref = load_reference_module("ndtnet", f"{REF}/ndtnet.py")
+    ref = load_reference_module("ndtnet", REF)
     torch.manual_seed(4)
     t_model = ref.NDTNetClassification(
         point_dim=3, num_classes=7, feature_dim=64
@@ -208,12 +114,7 @@ def test_ndtnet_classification_parity():
 
     from ndtpu.models import NDTNetClassification
 
-    bb_params, bb_stats = map_backbone(t_model.feature_extractor)
-    params = {"NDTNet_0": bb_params}
-    stats = {"NDTNet_0": bb_stats}
-    for i, c in enumerate([t_model.conv1, t_model.conv2, t_model.conv3]):
-        params[f"Dense_{i}"] = {"kernel": conv_kernel(c), "bias": t2np(c.bias)}
-
+    variables = map_ndtnet_classification(t_model)
     rng = np.random.default_rng(4)
     pts = rng.normal(size=(2, 29, 3)).astype(np.float32)
     covs = (rng.normal(size=(2, 29, 9)) * 0.1).astype(np.float32)
@@ -221,8 +122,7 @@ def test_ndtnet_classification_parity():
         t_out = t2np(t_model(torch.tensor(pts), torch.tensor(covs)))[:, :, 0]
     j_out = np.asarray(
         NDTNetClassification(num_classes=7, feature_dim=64).apply(
-            {"params": params, "batch_stats": stats},
-            jnp.asarray(pts), jnp.asarray(covs), train=False,
+            variables, jnp.asarray(pts), jnp.asarray(covs), train=False,
         )
     )
     np.testing.assert_allclose(j_out, t_out, rtol=1e-3, atol=1e-4)
@@ -230,7 +130,7 @@ def test_ndtnet_classification_parity():
 
 @pytest.mark.slow
 def test_residual_connection_parity():
-    ref = load_reference_module("ndtnetpp", f"{REF}/ndtnetpp.py")
+    ref = load_reference_module("ndtnetpp", REF)
     torch.manual_seed(5)
     t_res = ref.ResidualConnection(in_points=12, out_points=5).eval()
 
@@ -238,20 +138,7 @@ def test_residual_connection_parity():
 
     from ndtpu.models import ResidualConnection
 
-    params = {
-        "Dense_0": {
-            "kernel": conv_kernel(t_res.conv1), "bias": t2np(t_res.conv1.bias)
-        },
-        "BatchNorm_0": {
-            "scale": t2np(t_res.bn1.weight), "bias": t2np(t_res.bn1.bias)
-        },
-    }
-    stats = {
-        "BatchNorm_0": {
-            "mean": t2np(t_res.bn1.running_mean),
-            "var": t2np(t_res.bn1.running_var),
-        }
-    }
+    variables = map_residual_connection(t_res)
     x = np.random.default_rng(5).normal(size=(2, 12, 6)).astype(np.float32)
     # the reference's duplicate dead `forward` (ndtnetpp.py:44-53) overrides
     # the real one and returns None — drive the layers directly instead
@@ -260,17 +147,14 @@ def test_residual_connection_parity():
             torch.relu(t_res.bn1(t_res.conv1(torch.tensor(x))))
         )
     j_out = np.asarray(
-        ResidualConnection(12, 5).apply(
-            {"params": params, "batch_stats": stats}, jnp.asarray(x),
-            train=False,
-        )
+        ResidualConnection(12, 5).apply(variables, jnp.asarray(x), train=False)
     )
     np.testing.assert_allclose(j_out, t_out, rtol=1e-3, atol=1e-4)
 
 
 @pytest.mark.slow
 def test_ndtnet_segmentation_parity():
-    ref = load_reference_module("ndtnet", f"{REF}/ndtnet.py")
+    ref = load_reference_module("ndtnet", REF)
     torch.manual_seed(2)
     t_model = ref.NDTNetSegmentation(
         point_dim=3, num_classes=5, feature_dim=64
@@ -280,21 +164,7 @@ def test_ndtnet_segmentation_parity():
 
     from ndtpu.models import NDTNetSegmentation
 
-    bb_params, bb_stats = map_backbone(t_model.feature_extractor)
-    params = {"NDTNet_0": bb_params}
-    stats = {"NDTNet_0": bb_stats}
-    for i, c in enumerate(
-        [t_model.conv1, t_model.conv2, t_model.conv3, t_model.conv4]
-    ):
-        params[f"Dense_{i}"] = {"kernel": conv_kernel(c), "bias": t2np(c.bias)}
-    for i, b in enumerate([t_model.bn1, t_model.bn2, t_model.bn3]):
-        params[f"BatchNorm_{i}"] = {
-            "scale": t2np(b.weight), "bias": t2np(b.bias)
-        }
-        stats[f"BatchNorm_{i}"] = {
-            "mean": t2np(b.running_mean), "var": t2np(b.running_var)
-        }
-
+    variables = map_ndtnet_segmentation(t_model)
     rng = np.random.default_rng(2)
     pts = rng.normal(size=(2, 33, 3)).astype(np.float32)
     covs = rng.normal(size=(2, 33, 9)).astype(np.float32) * 0.1
@@ -302,8 +172,55 @@ def test_ndtnet_segmentation_parity():
         t_out = t2np(t_model(torch.tensor(pts), torch.tensor(covs)))
     j_out = np.asarray(
         NDTNetSegmentation(num_classes=5, feature_dim=64).apply(
-            {"params": params, "batch_stats": stats},
-            jnp.asarray(pts), jnp.asarray(covs), train=False,
+            variables, jnp.asarray(pts), jnp.asarray(covs), train=False,
         )
     )
     np.testing.assert_allclose(j_out, t_out, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_batchnorm_running_stats_match_torch():
+    """ndtpu.models.norm.BatchNorm replicates torch BatchNorm1d's
+    running-statistics semantics (unbiased running var, momentum=0.1
+    update) — the train-then-eval trajectory must match, not just the
+    eval-at-init forward (which the transplant tests above pin)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpu.models.norm import BatchNorm
+
+    torch.manual_seed(7)
+    t_bn = torch.nn.BatchNorm1d(8)  # momentum 0.1 <-> decay 0.9
+
+    j_bn = BatchNorm(use_running_average=False, momentum=0.9)
+    rng = np.random.default_rng(7)
+    x0 = rng.normal(size=(4, 8)).astype(np.float32) * 3.0 + 1.0
+    variables = j_bn.init(jax.random.PRNGKey(0), jnp.asarray(x0))
+    stats = variables["batch_stats"]
+
+    t_bn.train()
+    for i in range(3):
+        x = rng.normal(size=(4, 8)).astype(np.float32) * (i + 1)
+        t_out = t_bn(torch.tensor(x)).detach().numpy()
+        j_out, mut = j_bn.apply(
+            {"params": variables["params"], "batch_stats": stats},
+            jnp.asarray(x), mutable=["batch_stats"],
+        )
+        stats = mut["batch_stats"]
+        np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-5)
+
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]), t_bn.running_mean.numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["var"]), t_bn.running_var.numpy(), rtol=1e-5
+    )
+
+    t_bn.eval()
+    xe = rng.normal(size=(4, 8)).astype(np.float32)
+    t_out = t_bn(torch.tensor(xe)).detach().numpy()
+    j_out = BatchNorm(use_running_average=True).apply(
+        {"params": variables["params"], "batch_stats": stats},
+        jnp.asarray(xe),
+    )
+    np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-5)

@@ -1,0 +1,325 @@
+#!/usr/bin/env python
+"""Accuracy-parity experiment: ndtpu vs. the torch reference (north star).
+
+BASELINE.md's target is classification-accuracy parity with the PyTorch
+reference at n_desired_nds=1000. This image ships none of the reference's
+datasets (CARLA / ModelNet40), so this is the controlled version of the
+experiment: both frameworks' models train on the SAME synthetic dataset,
+consuming IDENTICAL ndtpu-preprocessed (points, covs) tensors, with the
+same optimizer (Adam: same lr/betas/eps), the same batch schedule (shared
+seeded permutations), and matched initial weights (the torch init is
+transplanted into flax via ndtpu.interop before either side trains) — the
+only varying factor is the framework.
+
+Loss on the torch side defaults to the reference's documented intent
+(standard CE over the class dim). Its literal segmentation loss
+(`F.cross_entropy(pred_logprobs, gt)` over the wrong dim,
+/root/reference/tools/train.py:72 — SURVEY.md §2.4) is selectable with
+--torch_loss literal for completeness.
+
+Reference loop semantics: /root/reference/tools/train.py:16-92; models
+/root/reference/ndnet/models/ndtnet.py:166-243.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+import _common  # noqa: F401  (sys.path + NDTPU_PLATFORM pinning)
+
+
+def build_dataset(task, n_samples, train_size, test_size, n_classes, seed):
+    from ndtpu.data.synthetic import SyntheticCls, SyntheticSeg
+
+    if task == "classification":
+        n_classes = SyntheticCls.NUM_CLASSES
+        train = SyntheticCls(n_samples, length=train_size, seed=seed)
+        test = SyntheticCls(n_samples, length=test_size, seed=seed + 7919)
+
+        def stack(ds):
+            pts, labels = zip(*[ds[i] for i in range(len(ds))])
+            return np.stack(pts), np.asarray(labels, np.int64), None
+
+        return stack(train), stack(test), n_classes
+    train = SyntheticSeg(n_classes, n_samples, length=train_size, seed=seed)
+    test = SyntheticSeg(n_classes, n_samples, length=test_size,
+                        seed=seed + 7919)
+
+    def stack(ds):
+        pts, gts = zip(*[ds[i] for i in range(len(ds))])
+        return np.stack(pts), None, np.stack(gts)
+
+    return stack(train), stack(test), n_classes
+
+
+def preprocess(points, gt_onehot, n_desired, n_classes, chunk=8):
+    """One ndtpu NDT preprocessing of the whole split — the identical
+    tensors both frameworks consume. Chunked so a split of any size
+    reuses one compiled shape (last chunk padded)."""
+    import jax.numpy as jnp
+
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+    s = points.shape[0]
+    outs = []
+    for i in range(0, s, chunk):
+        p = points[i:i + chunk]
+        g = gt_onehot[i:i + chunk] if gt_onehot is not None else None
+        pad = chunk - p.shape[0]
+        if pad:
+            p = np.concatenate([p, np.repeat(p[-1:], pad, axis=0)])
+            if g is not None:
+                g = np.concatenate([g, np.repeat(g[-1:], pad, axis=0)])
+        pcl, covs, onehot, mask, _ = ndt_preprocessing_with_state(
+            int(n_desired), jnp.asarray(p),
+            jnp.asarray(g) if g is not None else None, int(n_classes),
+        )
+        outs.append((np.asarray(pcl), np.asarray(covs), np.asarray(onehot),
+                     np.asarray(mask)))
+    cat = [np.concatenate(x)[:s] for x in zip(*outs)]
+    return {"pcl": cat[0], "covs": cat[1], "gt": cat[2], "mask": cat[3]}
+
+
+def make_torch_models(task, n_classes, feature_dim, seed):
+    """Reference model (torch) + its init transplanted into flax params."""
+    import torch
+
+    from ndtpu.interop import (
+        map_ndtnet_classification,
+        map_ndtnet_segmentation,
+    )
+    from ndtpu.interop.reference_loader import load_reference_module
+
+    ref = load_reference_module("ndtnet")
+    torch.manual_seed(seed)
+    if task == "classification":
+        t_model = ref.NDTNetClassification(3, n_classes, feature_dim)
+        variables = map_ndtnet_classification(t_model)
+    else:
+        t_model = ref.NDTNetSegmentation(3, n_classes, feature_dim)
+        variables = map_ndtnet_segmentation(t_model)
+    return t_model, variables
+
+
+def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
+                batch, lr, loss_mode):
+    """Train the reference model on the preprocessed tensors; returns the
+    per-epoch accuracy curve + final test accuracy (train.py:84-87 metric)."""
+    import torch
+    import torch.nn.functional as F
+
+    opt = torch.optim.Adam(t_model.parameters(), lr=lr)
+
+    def tensors(d, idx):
+        return (torch.tensor(d["pcl"][idx]), torch.tensor(d["covs"][idx]),
+                torch.tensor(d["gt"][idx]), torch.tensor(d["mask"][idx]))
+
+    def loss_and_acc(out, gt, mask, labels):
+        if task == "classification":
+            probs = out[:, :, 0]
+            onehot = F.one_hot(labels, probs.shape[1]).float()
+            loss = -(onehot * torch.log(probs + 1e-9)).sum(1).mean()
+            acc = (probs.argmax(1) == labels).float().mean()
+        else:
+            if loss_mode == "literal":
+                # the reference's verbatim call (train.py:72): pred is
+                # already log-probs and the class dim is wrong
+                loss = F.cross_entropy(out, gt)
+            else:
+                ce = -(gt * out).sum(-1)
+                loss = (ce * mask).sum() / mask.sum().clamp(min=1)
+            hit = (out.argmax(-1) == gt.argmax(-1)).float()
+            acc = (hit * mask).sum() / mask.sum().clamp(min=1)
+        return loss, acc
+
+    curve = []
+    for ep, perm in enumerate(perms):
+        t_model.train()
+        ep_acc = []
+        for i in range(0, len(perm) - batch + 1, batch):
+            idx = perm[i:i + batch]
+            pcl, covs, gt, mask = tensors(train_d, idx)
+            lab = (torch.tensor(labels_tr[idx])
+                   if labels_tr is not None else None)
+            out = t_model(pcl, covs)
+            loss, acc = loss_and_acc(out, gt, mask, lab)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ep_acc.append(float(acc))
+        curve.append(float(np.mean(ep_acc)))
+
+    t_model.eval()
+    with torch.no_grad():
+        idx = np.arange(test_d["pcl"].shape[0])
+        pcl, covs, gt, mask = tensors(test_d, idx)
+        lab = torch.tensor(labels_te) if labels_te is not None else None
+        out = t_model(pcl, covs)
+        _, test_acc = loss_and_acc(out, gt, mask, lab)
+    return curve, float(test_acc)
+
+
+def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
+                perms, batch, lr, n_classes, feature_dim):
+    """Train the flax twin from the SAME transplanted init, same schedule."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ndtpu.models import NDTNetClassification, NDTNetSegmentation
+    from ndtpu.train import TrainState
+    from ndtpu.train.loop import accuracy, cross_entropy_loss
+
+    if task == "classification":
+        model = NDTNetClassification(num_classes=n_classes,
+                                     feature_dim=feature_dim)
+    else:
+        model = NDTNetSegmentation(num_classes=n_classes,
+                                   feature_dim=feature_dim)
+    tx = optax.adam(lr)  # torch Adam defaults: b1 .9, b2 .999, eps 1e-8
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+    @jax.jit
+    def step(state, pcl, covs, target, mask):
+        def loss_fn(params):
+            logits, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                pcl, covs, train=True, return_logits=True,
+                mutable=["batch_stats"],
+            )
+            m = mask if task == "segmentation" else None
+            loss = cross_entropy_loss(logits, target, m)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        m = mask if task == "segmentation" else None
+        acc = accuracy(logits, target, m)
+        return state.apply_gradients(grads, new_batch_stats=new_bs), loss, acc
+
+    @jax.jit
+    def evaluate(state, pcl, covs, target, mask):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pcl, covs, train=False, return_logits=True,
+        )
+        m = mask if task == "segmentation" else None
+        return accuracy(logits, target, m)
+
+    def target_of(d, labels, idx):
+        if task == "classification":
+            return jax.nn.one_hot(labels[idx], n_classes)
+        return jnp.asarray(d["gt"][idx])
+
+    curve = []
+    for ep, perm in enumerate(perms):
+        ep_acc = []
+        for i in range(0, len(perm) - batch + 1, batch):
+            idx = perm[i:i + batch]
+            state, loss, acc = step(
+                state, jnp.asarray(train_d["pcl"][idx]),
+                jnp.asarray(train_d["covs"][idx]),
+                target_of(train_d, labels_tr, idx),
+                jnp.asarray(train_d["mask"][idx]),
+            )
+            ep_acc.append(float(acc))
+        curve.append(float(np.mean(ep_acc)))
+
+    idx = np.arange(test_d["pcl"].shape[0])
+    test_acc = evaluate(
+        state, jnp.asarray(test_d["pcl"]), jnp.asarray(test_d["covs"]),
+        target_of(test_d, labels_te, idx), jnp.asarray(test_d["mask"]),
+    )
+    return curve, float(test_acc)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--task", default="classification",
+                    choices=["classification", "segmentation"])
+    ap.add_argument("--n_desired_nds", type=int, default=1000)
+    ap.add_argument("--n_samples", type=int, default=4096)
+    ap.add_argument("--n_classes", type=int, default=8)
+    ap.add_argument("--feature_dim", type=int, default=128)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--train_size", type=int, default=64)
+    ap.add_argument("--test_size", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--torch_loss", default="intent",
+                    choices=["intent", "literal"])
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    t0 = time.time()
+    (tr_pts, tr_lab, tr_gt), (te_pts, te_lab, te_gt), n_classes = (
+        build_dataset(args.task, args.n_samples, args.train_size,
+                      args.test_size, args.n_classes, args.seed)
+    )
+    print(f"[parity] dataset built ({time.time() - t0:.1f}s); "
+          f"preprocessing {args.train_size}+{args.test_size} clouds "
+          f"of {args.n_samples} pts -> {args.n_desired_nds} NDs ...",
+          flush=True)
+    train_d = preprocess(tr_pts, tr_gt, args.n_desired_nds, n_classes,
+                         chunk=args.batch_size)
+    test_d = preprocess(te_pts, te_gt, args.n_desired_nds, n_classes,
+                        chunk=args.batch_size)
+    print(f"[parity] preprocessing done ({time.time() - t0:.1f}s); "
+          f"mask valid fraction train="
+          f"{train_d['mask'].mean():.4f} test={test_d['mask'].mean():.4f}",
+          flush=True)
+
+    t_model, variables = make_torch_models(
+        args.task, n_classes, args.feature_dim, args.seed
+    )
+    rng = np.random.default_rng(args.seed + 13)
+    perms = [rng.permutation(args.train_size) for _ in range(args.epochs)]
+
+    j_curve, j_test = train_ndtpu(
+        variables, args.task, train_d, test_d, tr_lab, te_lab, perms,
+        args.batch_size, args.lr, n_classes, args.feature_dim,
+    )
+    print(f"[parity] ndtpu trained ({time.time() - t0:.1f}s): "
+          f"final train acc {j_curve[-1]:.4f}, test acc {j_test:.4f}",
+          flush=True)
+    t_curve, t_test = train_torch(
+        t_model, args.task, train_d, test_d, tr_lab, te_lab, perms,
+        args.batch_size, args.lr, args.torch_loss,
+    )
+    print(f"[parity] torch reference trained ({time.time() - t0:.1f}s): "
+          f"final train acc {t_curve[-1]:.4f}, test acc {t_test:.4f}",
+          flush=True)
+
+    result = {
+        "task": args.task,
+        "n_desired_nds": args.n_desired_nds,
+        "n_samples": args.n_samples,
+        "n_classes": n_classes,
+        "feature_dim": args.feature_dim,
+        "epochs": args.epochs,
+        "batch_size": args.batch_size,
+        "lr": args.lr,
+        "torch_loss": args.torch_loss,
+        "ndtpu": {"train_curve": j_curve, "test_accuracy": j_test},
+        "torch_reference": {"train_curve": t_curve, "test_accuracy": t_test},
+        "parity": j_test >= t_test - 0.02,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ import optax
 from tools._common import make_dataset
 from ndtpu.data.loader import batch_iterator, prefetch_to_device
 from ndtpu.models import NDTNetClassification, NDTNetSegmentation
-from ndtpu.parallel.mesh import batch_sharding, make_data_mesh, replicate
+from ndtpu.parallel.mesh import batch_sharding, init_distributed, make_data_mesh, replicate
 from ndtpu.train.config import TrainConfig
 from ndtpu.train.loop import make_classification_step, make_lr_schedule, make_ndt_seg_step
 from ndtpu.train.metrics import MetricLogger
@@ -82,6 +82,10 @@ def make_cls_dataset(cfg, split, seed):
 
 def main():
     cfg = TrainConfig.from_args()
+    # multi-host DP (SURVEY.md §2.3 / §7 step 8): must run before any
+    # device access so every process sees the global device set
+    init_distributed(cfg.coordinator, cfg.num_processes, cfg.process_id)
+    is_host0 = jax.process_index() == 0
     out_dir = os.path.join(
         cfg.out_path, datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     )
@@ -138,33 +142,39 @@ def main():
         config=vars(cfg),
     )
 
-    for epoch in range(cfg.epochs):
-        loader = prefetch_to_device(
-            batch_iterator(train_set, cfg.batch_size, shuffle=True, seed=epoch),
+    def make_loader(dataset, shuffle, seed=0):
+        # every process iterates the same global batch schedule and loads
+        # only its slice; the prefetcher assembles the global sharded array
+        return prefetch_to_device(
+            batch_iterator(
+                dataset, cfg.batch_size, shuffle=shuffle, seed=seed,
+                process_id=jax.process_index(),
+                num_processes=jax.process_count(),
+            ),
             sharding,
         )
+
+    for epoch in range(cfg.epochs):
+        loader = make_loader(train_set, shuffle=True, seed=epoch)
         state, m = run_epoch(step_fn, state, loader, train=True)
         logger.log({f"train_{k}": v for k, v in m.items()}, step=epoch + 1)
 
-        loader = prefetch_to_device(
-            batch_iterator(val_set, cfg.batch_size, shuffle=False), sharding
-        )
+        loader = make_loader(val_set, shuffle=False)
         _, m = run_epoch(eval_fn, state, loader, train=False)
         logger.log({f"val_{k}": v for k, v in m.items()}, step=epoch + 1)
 
-        if (epoch + 1) % cfg.save_every == 0:
+        if (epoch + 1) % cfg.save_every == 0 and is_host0:
             path = save_checkpoint(
                 state, os.path.join(out_dir, f"ndtnet_{cfg.task}_{epoch + 1}")
             )
             print(f"saved checkpoint to {path}")
 
-    loader = prefetch_to_device(
-        batch_iterator(test_set, cfg.batch_size, shuffle=False), sharding
-    )
+    loader = make_loader(test_set, shuffle=False)
     _, m = run_epoch(eval_fn, state, loader, train=False)
     logger.log({f"test_{k}": v for k, v in m.items()})
     logger.finish()
-    print("Done.")
+    if is_host0:
+        print("Done.")
 
 
 if __name__ == "__main__":

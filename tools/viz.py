@@ -6,9 +6,9 @@ viz.py:100-107) and optional prune (:119-129), then — instead of an Open3D
 window — writes colored PLY files for inspection.
 """
 import argparse
+import contextlib
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -19,6 +19,7 @@ from tools._common import paint_classes
 from ndtpu.core.ndt import NDTSampler, ndt_downsample, ndt_prune
 from ndtpu.data.ply import read_ply, write_ply
 from ndtpu.data.synthetic import random_cloud
+from ndtpu.utils.profiling import profile_trace, timed
 
 
 def main():
@@ -32,6 +33,9 @@ def main():
     p.add_argument("--n_classes", type=int, default=28)
     p.add_argument("--out_dir", type=str, default="out/viz")
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--trace", type=str, default=None,
+                   help="capture a jax.profiler trace of the timed "
+                        "downsample loop into this directory")
     args = p.parse_args()
 
     if args.pcl_path:
@@ -48,14 +52,19 @@ def main():
                          num_class_slots=args.n_classes + 1)
     out[0].block_until_ready()
 
-    t0 = time.time()
-    for _ in range(args.repeats):
-        pcl, covs, labels, mask, state = ndt_downsample(
-            pts, args.target, None, cls, num_class_slots=args.n_classes + 1
-        )
-        pcl.block_until_ready()
-    dt = (time.time() - t0) / args.repeats
+    trace_ctx = (
+        profile_trace(args.trace) if args.trace else contextlib.nullcontext()
+    )
+    with trace_ctx, timed(sync=lambda: pcl) as t:
+        for _ in range(args.repeats):
+            pcl, covs, labels, mask, state = ndt_downsample(
+                pts, args.target, None, cls,
+                num_class_slots=args.n_classes + 1,
+            )
+    dt = t["seconds"] / args.repeats
     print(f"Downsampling took {dt} seconds. ({1.0 / dt} Hz)")  # viz.py:106-107
+    if args.trace:
+        print(f"profiler trace written to {args.trace}")
 
     os.makedirs(args.out_dir, exist_ok=True)
     kept = np.asarray(mask)
@@ -69,11 +78,10 @@ def main():
           f"({int(kept.sum())} NDs, voxel {float(state.voxel_size):.4f})")
 
     if args.target1:
-        t0 = time.time()
-        for _ in range(args.repeats):
-            pcl1, covs1, labels1, mask1 = ndt_prune(state, args.target1)
-            pcl1.block_until_ready()
-        dt = (time.time() - t0) / args.repeats
+        with timed(sync=lambda: pcl1) as t:
+            for _ in range(args.repeats):
+                pcl1, covs1, labels1, mask1 = ndt_prune(state, args.target1)
+        dt = t["seconds"] / args.repeats
         print(f"Pruning took {dt} seconds. ({1.0 / dt} Hz)")  # viz.py:127-129
         kept1 = np.asarray(mask1)
         write_ply(
