@@ -138,6 +138,37 @@ def max_segments(n_desired: int) -> int:
     return int(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD)) + 8
 
 
+def empty_state(n_desired: int, num_class_slots: int = 1,
+                batch: Optional[int] = None) -> NDTResult:
+    """Zero-filled NDTResult with the exact shapes/dtypes that
+    ``ndt_downsample(points, n_desired, num_class_slots=...)`` produces
+    (leading ``batch`` dim on every leaf when given, matching a vmapped
+    downsample). For building flax init / checkpoint templates without
+    compiling and running a full-size pipeline."""
+    k = max_segments(n_desired)
+    c = num_class_slots if num_class_slots > 1 else 1
+
+    def z(shape, dtype=jnp.float32):
+        if batch is not None:
+            shape = (batch,) + shape
+        return jnp.zeros(shape, dtype)
+
+    return NDTResult(
+        means=z((k, 3)),
+        covs=z((k, 3, 3)),
+        counts=z((k,), jnp.int32),
+        class_hist=z((k, c), jnp.int32),
+        zyx=z((k, 3), jnp.int32),
+        min_kl=z((k,)),
+        max_kl=z((k,)),
+        lens=z((3,), jnp.int32),
+        offsets=z((3,)),
+        voxel_size=z(()),
+        num_valid=z((), jnp.int32),
+        converged=z((), jnp.bool_),
+    )
+
+
 def _voxel_keys(px, py, pz, mask, voxel_size, mins, maxs):
     """Per-point sort key from structure-of-arrays coordinates.
 

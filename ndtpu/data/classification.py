@@ -80,60 +80,7 @@ class ModelNetCls:
         return pts, label
 
 
-class SyntheticCls:
-    """Procedural shape classification: 8 classes of parametric surfaces
-    with noise — enough structure for end-to-end training tests."""
-
-    N_CLASSES = 8
-
-    def __init__(self, n_points: int = 2048, length: int = 64, seed: int = 0):
-        self.n_points = int(n_points)
-        self.length = int(length)
-        self.seed = seed
-
-    @property
-    def n_classes(self) -> int:
-        return self.N_CLASSES
-
-    def __len__(self) -> int:
-        return self.length
-
-    def _shape(self, label: int, rng) -> np.ndarray:
-        n = self.n_points
-        u = rng.uniform(0, 2 * np.pi, n)
-        v = rng.uniform(-1, 1, n)
-        if label == 0:  # sphere
-            phi = np.arccos(v)
-            pts = np.stack([np.sin(phi) * np.cos(u), np.sin(phi) * np.sin(u),
-                            np.cos(phi)], 1)
-        elif label == 1:  # cube surface
-            pts = rng.uniform(-1, 1, (n, 3))
-            ax = rng.integers(0, 3, n)
-            pts[np.arange(n), ax] = np.sign(pts[np.arange(n), ax])
-        elif label == 2:  # cylinder
-            pts = np.stack([np.cos(u), np.sin(u), v], 1)
-        elif label == 3:  # plane
-            pts = np.stack([np.cos(u) * 0 + rng.uniform(-1, 1, n),
-                            rng.uniform(-1, 1, n), np.zeros(n)], 1)
-        elif label == 4:  # torus
-            r, R = 0.3, 1.0
-            w = rng.uniform(0, 2 * np.pi, n)
-            pts = np.stack([(R + r * np.cos(w)) * np.cos(u),
-                            (R + r * np.cos(w)) * np.sin(u),
-                            r * np.sin(w)], 1)
-        elif label == 5:  # cone
-            h = rng.uniform(0, 1, n)
-            pts = np.stack([(1 - h) * np.cos(u), (1 - h) * np.sin(u), h], 1)
-        elif label == 6:  # two parallel planes
-            pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
-                            np.sign(v) * 0.5], 1)
-        else:  # line/rod
-            pts = np.stack([v, 0.05 * np.cos(u), 0.05 * np.sin(u)], 1)
-        return pts + rng.normal(scale=0.02, size=(n, 3))
-
-    def __getitem__(self, idx: int):
-        if idx < 0 or idx >= self.length:
-            raise IndexError(idx)
-        rng = np.random.default_rng(self.seed * 100003 + idx)
-        label = idx % self.N_CLASSES
-        return self._shape(label, rng).astype(np.float32), label
+# canonical implementation lives with the other synthetic generators;
+# re-exported here because classification users look for it alongside
+# ModelNetCls
+from ndtpu.data.synthetic import SyntheticCls  # noqa: E402,F401

@@ -82,18 +82,23 @@ def _shape_cloud(cls: int, n: int, rng) -> np.ndarray:
 
 
 class SyntheticCls:
-    """Shape-classification dataset for the accuracy-parity experiment
-    (BASELINE.md north star; the image ships no ModelNet40 data, so this is
-    the controlled stand-in): __getitem__ -> (points [n_samples, 3] f32,
-    label int). 8 shape classes whose per-voxel covariances differ, random
-    rotation/translation per sample."""
+    """Shape-classification dataset (the BASELINE.md parity target is
+    classification accuracy; the image ships no ModelNet40 data, so this is
+    the controlled stand-in): __getitem__ -> (points [n_points, 3] f32,
+    label int). 8 shape classes whose per-voxel NDT covariances differ
+    (shells, planes, rods, tori, ...), random rotation/translation per
+    sample, ~4-8 m metric scale so the voxel-size search has headroom."""
 
     NUM_CLASSES = 8
 
-    def __init__(self, n_samples: int, length: int = 64, seed: int = 0):
-        self.n_samples = int(n_samples)
+    def __init__(self, n_points: int = 2048, length: int = 64, seed: int = 0):
+        self.n_points = int(n_points)
         self.length = int(length)
         self.seed = seed
+
+    @property
+    def n_classes(self) -> int:
+        return self.NUM_CLASSES
 
     def __len__(self) -> int:
         return self.length
@@ -103,7 +108,7 @@ class SyntheticCls:
             raise IndexError(idx)
         rng = np.random.default_rng(self.seed * 100003 + idx)
         label = idx % self.NUM_CLASSES
-        return _shape_cloud(label, self.n_samples, rng), label
+        return _shape_cloud(label, self.n_points, rng), label
 
 
 class SyntheticSeg:

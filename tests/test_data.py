@@ -106,3 +106,84 @@ def test_random_cloud_stress_shape():
     assert pts.shape == (90000, 3)
     pts2 = random_cloud(90000, seed=0)
     np.testing.assert_array_equal(pts, pts2)
+
+
+def _write_off(path, verts, glued_header=False):
+    faces = "3 0 1 2\n"
+    with open(path, "w") as f:
+        if glued_header:
+            f.write(f"OFF{len(verts)} 1 0\n")  # ModelNet40's glued variant
+        else:
+            f.write(f"OFF\n{len(verts)} 1 0\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        f.write(faces)
+
+
+def test_read_off_plain_and_glued_header(tmp_path):
+    from ndtpu.data.classification import read_off
+
+    rng = np.random.default_rng(5)
+    verts = rng.normal(size=(10, 3))
+    _write_off(tmp_path / "a.off", verts)
+    _write_off(tmp_path / "b.off", verts, glued_header=True)
+    np.testing.assert_allclose(read_off(str(tmp_path / "a.off")), verts)
+    np.testing.assert_allclose(read_off(str(tmp_path / "b.off")), verts)
+
+    import pytest
+
+    (tmp_path / "bad.off").write_text("PLY\n3 1 0\n")
+    with pytest.raises(ValueError):
+        read_off(str(tmp_path / "bad.off"))
+
+
+def test_modelnet_cls_dataset(tmp_path):
+    """ModelNet directory layout <root>/<class>/<split>/<file>.off
+    (ndtpu/data/classification.py:36-80): class discovery, split layout,
+    sampling to n_points, unit-sphere normalization, stable label order."""
+    from ndtpu.data.classification import ModelNetCls
+
+    rng = np.random.default_rng(7)
+    for label, cls in enumerate(["airplane", "chair"]):
+        for split in ["train", "test"]:
+            d = tmp_path / cls / split
+            d.mkdir(parents=True)
+            for i in range(2):
+                # vary vertex counts to hit both subsample and re-sample
+                n = 40 if i == 0 else 8
+                verts = rng.normal(size=(n, 3)) * (label + 1) * 3.0
+                _write_off(d / f"{cls}_{i:04d}.off", verts,
+                           glued_header=(i == 1))
+
+    ds = ModelNetCls(str(tmp_path), split="train", n_points=16, seed=0)
+    assert ds.n_classes == 2
+    assert ds.classes == ["airplane", "chair"]
+    assert len(ds) == 4
+    pts, label = ds[0]
+    assert pts.shape == (16, 3) and pts.dtype == np.float32
+    assert label in (0, 1)
+    # unit-sphere normalization: centered, max radius 1
+    np.testing.assert_allclose(pts.mean(0), 0.0, atol=1e-5)
+    assert np.linalg.norm(pts, axis=1).max() <= 1.0 + 1e-5
+    # both classes appear; labels follow sorted class order
+    labels = sorted({ds[i][1] for i in range(len(ds))})
+    assert labels == [0, 1]
+
+    test_ds = ModelNetCls(str(tmp_path), split="test", n_points=8, seed=0)
+    assert len(test_ds) == 4
+    # n_points > available vertices: sampled with replacement, full shape
+    pts8, _ = ModelNetCls(str(tmp_path), split="test", n_points=64, seed=0)[1]
+    assert pts8.shape == (64, 3)
+
+
+def test_synthetic_cls_shapes_and_determinism():
+    from ndtpu.data.synthetic import SyntheticCls
+
+    ds = SyntheticCls(n_points=128, length=16, seed=3)
+    assert ds.n_classes == 8
+    pts, label = ds[9]
+    assert pts.shape == (128, 3) and label == 1
+    pts2, label2 = SyntheticCls(n_points=128, length=16, seed=3)[9]
+    np.testing.assert_array_equal(pts, pts2)
+    # all 8 classes cycle through
+    assert sorted({ds[i][1] for i in range(16)}) == list(range(8))

@@ -3,6 +3,7 @@ formula (kullback_leibler.c:115 / core/kullback_leibler.py:55-62), including
 its +ln(det p / det q) sign quirk."""
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -219,3 +220,77 @@ def test_neighbor_min_kl_random_grid_vs_bruteforce():
             else:
                 assert np.isposinf(min_kl[i]) and np.isneginf(max_kl[i])
         assert np.isposinf(min_kl[kk:]).all()
+
+
+def test_singularity_mask_rel_eps_vs_reference_zero_compare():
+    """The one deliberate semantic deviation from the reference
+    (kullback_leibler.c:66-78 compares det == 0 exactly): a rank-deficient
+    covariance — e.g. a voxel whose points lie on a plane — has true det 0,
+    but its *floating-point* det is a tiny nonzero rounding residue, so the
+    reference's exact-zero check essentially never fires and the resulting
+    KL is unstable garbage. ndtpu's scale-aware |det| > rel_eps*(tr/3)^3
+    mask must (a) catch such matrices where ==0 does not, (b) be identical
+    under f32 and f64, (c) keep well-conditioned tiny covariances defined
+    (scale-invariance)."""
+    from ndtpu.core.kl import gaussian_kl
+
+    rng = np.random.default_rng(17)
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    # rank-2: points on a plane through the voxel
+    deficient64 = q @ np.diag([3e-2, 1e-2, 0.0]) @ q.T
+    deficient32 = deficient64.astype(np.float32)
+
+    # (a) floating-point det is NOT exactly zero -> the reference's ==0
+    # compare would pass the matrix through to an unstable inverse
+    from ndtpu.core.kl import det3
+
+    d32 = float(det3(jnp.asarray(deficient32)))
+    assert d32 != 0.0
+    assert abs(d32) < 1e-9  # pure rounding residue
+
+    mu = jnp.zeros((3,))
+    good = jnp.asarray(random_spd(np.random.default_rng(1)) * 1e-2,
+                       jnp.float32)
+
+    kl32, ok32 = gaussian_kl(mu, jnp.asarray(deficient32), mu, good)
+    assert not bool(ok32) and np.isinf(float(kl32))
+    kl32q, ok32q = gaussian_kl(mu, good, mu, jnp.asarray(deficient32))
+    assert not bool(ok32q)
+
+    # (b) dtype stability: identical verdict under f64
+    with jax.enable_x64(True):
+        kl64, ok64 = gaussian_kl(
+            jnp.zeros((3,), jnp.float64), jnp.asarray(deficient64),
+            jnp.zeros((3,), jnp.float64), jnp.asarray(np.asarray(good),
+                                                      jnp.float64),
+        )
+        assert bool(ok64) == bool(ok32)
+
+    # (c) scale-awareness: a tiny but full-rank anisotropic covariance
+    # stays defined (an absolute epsilon would mask it)
+    tiny = q @ np.diag([4e-4, 1e-4, 0.5e-4]) @ q.T
+    klt, okt = gaussian_kl(mu, jnp.asarray(tiny, jnp.float32), mu, good)
+    assert bool(okt) and np.isfinite(float(klt))
+
+
+def test_prune_ranking_stable_with_planar_voxel():
+    """End-to-end: a cloud containing an exactly-planar cluster (rank-2
+    voxel covariance) must produce a deterministic prune — the masked pair
+    sorts last instead of injecting noise-det KL values into the ranking."""
+    from ndtpu.core.ndt import ndt_downsample
+
+    rng = np.random.default_rng(23)
+    solid = rng.normal(size=(512, 3)).astype(np.float32)
+    planar = np.stack(
+        [rng.uniform(-0.4, 0.4, 128), rng.uniform(-0.4, 0.4, 128),
+         np.zeros(128)], axis=1,
+    ).astype(np.float32) + np.float32(4.0)
+    pts = jnp.asarray(np.concatenate([solid, planar]))
+
+    a = ndt_downsample(pts, 16)
+    b = ndt_downsample(pts, 16)
+    for xa, xb in zip(a[:4], b[:4]):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    # the planar voxel's pair KLs are masked -> inf min_kl never wins prune
+    state = a[4]
+    assert bool(jnp.any(jnp.isinf(state.min_kl[state.counts > 0])))

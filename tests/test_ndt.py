@@ -301,3 +301,23 @@ def test_fixed_voxel_size_clamp_flags_unconverged():
     # an in-envelope request stays converged
     out2 = ndt_downsample(pts, 64, fixed_voxel_size=jnp.float32(8.0))
     assert bool(out2[4].converged)
+
+
+def test_empty_state_matches_downsample_shapes():
+    """empty_state must stay in lockstep with what ndt_downsample returns
+    (it is the flax-init template for the multiscale trainer)."""
+    from ndtpu.core.ndt import empty_state
+
+    for slots in (1, 5):
+        real = jax.eval_shape(
+            lambda p: ndt_downsample(p, 24, classes=jnp.zeros((100,), jnp.int32),
+                                     num_class_slots=slots)[4],
+            jax.ShapeDtypeStruct((100, 3), jnp.float32),
+        )
+        tmpl = empty_state(24, slots)
+        rt = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), real)
+        tt = jax.tree_util.tree_map(lambda x: (x.shape, x.dtype), tmpl)
+        assert rt == tt
+        batched = empty_state(24, slots, batch=3)
+        assert batched.means.shape == (3,) + tmpl.means.shape
+        assert batched.voxel_size.shape == (3,)

@@ -53,16 +53,15 @@ def main():
         fine, coarse, cfg.n_classes, cfg.resolve_use_pallas()
     )
 
-    # template init needs a real NDT state pytree: run one tiny preprocess
-    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+    # template init needs an NDT-state pytree of the right shapes only —
+    # a zero-filled template avoids compiling a full-size preprocessing
+    # pipeline just to trace model.init
+    from ndtpu.core.ndt import empty_state
 
-    dummy_pts = jnp.zeros((cfg.batch_size, max(fine * 2, 64), 3))
-    p1, c1, _, _, state1 = ndt_preprocessing_with_state(
-        fine, dummy_pts, None, cfg.n_classes
-    )
-    p2, c2, _, _, _ = ndt_preprocessing_with_state(
-        coarse, dummy_pts, None, cfg.n_classes
-    )
+    b = cfg.batch_size
+    state1 = empty_state(fine, cfg.n_classes + 1, batch=b)
+    p1, c1 = jnp.zeros((b, fine, 3)), jnp.zeros((b, fine, 9))
+    p2, c2 = jnp.zeros((b, coarse, 3)), jnp.zeros((b, coarse, 9))
     state = create_train_state(
         model, tx, jax.random.PRNGKey(cfg.seed), p1, c1, state1, p2, c2,
         init_kwargs={"train": False},
