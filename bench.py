@@ -240,6 +240,177 @@ def bench_multiscale(args):
     }))
 
 
+def bench_giant(args):
+    """Giant-cloud config (SURVEY.md §5 sequence-parallel analogue): ONE
+    1M+-point cloud -> n_desired NDs through the point-sharded pipeline
+    (make_point_sharded_downsample) on a 1-chip mesh — the single-chip
+    anchor for the >=80% scaling-efficiency target (BASELINE.md:30) — plus
+    the viz.py prune-Hz protocol on the resulting state."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpu.core.ndt import ndt_prune
+    from ndtpu.parallel.mesh import make_mesh
+    from ndtpu.parallel.point_sharded import make_point_sharded_downsample
+
+    n_pts = args.giant_points
+    m = args.n_desired_nds if args.n_desired_nds != 1000 else 2080
+    rng = np.random.default_rng(0)
+    centers = rng.uniform(-40, 40, size=(4096, 3))
+    per = n_pts // 4096 + 1
+    pts = (
+        (centers[:, None, :] + rng.normal(scale=0.5, size=(4096, per, 3)))
+        .reshape(-1, 3)[:n_pts]
+        .astype(np.float32)
+    )
+    mesh = make_mesh(("points",), devices=np.asarray(jax.devices()[:1]))
+    fn = make_point_sharded_downsample(mesh, m, use_pallas=args.use_pallas)
+    pts_d = jnp.asarray(pts)
+    mask = jnp.ones((n_pts,), bool)
+    classes = jnp.zeros((n_pts,), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("inner",))
+    def repeat(p, inner: int):
+        def body(carry, _):
+            pcl, covs, labels, msk, state = fn(p + carry * 1e-20, mask, classes)
+            return jnp.sum(pcl) + jnp.sum(covs), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
+        return total
+
+    float(repeat(pts_d, args.inner))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        float(repeat(pts_d, args.inner))
+    dt = (time.perf_counter() - t0) / args.iters / args.inner
+
+    # prune-Hz protocol (viz.py:119-129): second-stage prune to m//2
+    _, _, _, _, state = jax.jit(fn)(pts_d, mask, classes)
+
+    @functools.partial(jax.jit, static_argnames=("inner",))
+    def prune_repeat(st, inner: int):
+        def body(carry, _):
+            pcl, covs, labels, msk = ndt_prune(
+                st.replace(voxel_size=st.voxel_size + carry * 1e-20), m // 2
+            )
+            return jnp.sum(pcl), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
+        return total
+
+    float(prune_repeat(state, args.inner))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        float(prune_repeat(state, args.inner))
+    dt_prune = (time.perf_counter() - t0) / args.iters / args.inner
+
+    print(
+        f"[bench] giant cloud: {n_pts} pts -> {m} NDs in {dt*1000:.2f} ms "
+        f"({1.0/dt:.2f} Hz, {n_pts/dt/1e6:.1f} Mpts/s); prune to {m//2}: "
+        f"{dt_prune*1000:.3f} ms ({1.0/dt_prune:.1f} Hz)",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "giant_cloud_downsample",
+        "value": round(1.0 / dt, 3),
+        "unit": "clouds/s/chip",
+        "points": n_pts,
+        "n_desired": m,
+        "mpts_per_s": round(n_pts / dt / 1e6, 2),
+        "prune_hz": round(1.0 / dt_prune, 2),
+        "vs_baseline": None,
+    }))
+
+
+def bench_roofline(args):
+    """Bytes-moved roofline accounting (VERDICT r1 item 4).
+
+    Measures (a) this chip's achievable HBM read bandwidth with a big
+    elementwise reduction, (b) the canonical preprocess time, (c) the cost
+    of the individual sort passes the pipeline is built from. Prints the
+    analytic minimum traffic (each point component read once + outputs)
+    against (a) to give %-of-roofline, and the sort-pass decomposition
+    that accounts for the gap."""
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+    B, N, M, C = (args.batch_size, args.n_samples, args.n_desired_nds,
+                  args.n_classes)
+
+    def scan_time(fn, *inputs, inner=8, iters=3):
+        @jax.jit
+        def repeat(*a):
+            def body(carry, _):
+                out = fn(*((a[0] + carry * 1e-20,) + a[1:]))
+                return jnp.sum(out).astype(jnp.float32), None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=inner)
+            return total
+
+        float(repeat(*inputs))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(repeat(*inputs))
+        return (time.perf_counter() - t0) / iters / inner
+
+    # (a) achievable HBM read bandwidth: one pass over 2^28 f32 (1 GiB)
+    big = jnp.ones((1 << 28,), jnp.float32)
+    t_bw = scan_time(lambda x: jnp.sum(x * 1.000001), big, inner=4)
+    gbps = (big.size * 4) / t_bw / 1e9
+
+    # (b) canonical preprocess
+    batch = jnp.asarray(make_batch(B, N))
+
+    def preprocess_only(pts):
+        pcl, _, _, _, _ = ndt_preprocessing_with_state(
+            M, pts, None, C, args.use_pallas, args.search
+        )
+        return pcl
+
+    t_prep = scan_time(preprocess_only, batch, inner=4)
+
+    # (c) sort passes: single-key and the build's key+payload sort
+    keys = jnp.asarray(
+        np.random.default_rng(0).integers(0, 1 << 30, B * N, dtype=np.int32)
+    )
+    t_sort1 = scan_time(lambda k: jax.lax.sort(k)[:8].astype(jnp.float32),
+                        keys, inner=4)
+    px = jnp.asarray(np.random.default_rng(1).random(B * N, np.float32))
+
+    def payload_sort(k, x):
+        cols = jax.lax.sort((k, x, x + 1, x + 2), num_keys=1)
+        return cols[1][:8]
+
+    t_sortp = scan_time(lambda k: payload_sort(k, px), keys, inner=4)
+
+    # analytic minimum traffic per batch: read 3 coord vectors once, write
+    # keys once, read them once more for the moment pass, write the
+    # [k_max, 13+C] accumulator (negligible)
+    bytes_min = B * N * 4 * (3 + 2)
+    t_ideal = bytes_min / (gbps * 1e9)
+    pct = 100.0 * t_ideal / t_prep
+
+    print(
+        f"[bench] roofline: HBM read {gbps:.1f} GB/s | preprocess "
+        f"{t_prep*1000:.2f} ms/batch vs ideal {t_ideal*1000:.3f} ms "
+        f"({pct:.2f}% of speed-of-light) | sort passes over [B*N]: "
+        f"1-key {t_sort1*1000:.2f} ms, 1-key+3-payload {t_sortp*1000:.2f} ms",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "roofline",
+        "hbm_read_gbps": round(gbps, 1),
+        "preprocess_ms": round(t_prep * 1000, 2),
+        "ideal_ms": round(t_ideal * 1000, 3),
+        "pct_of_roofline": round(pct, 2),
+        "sort1_ms": round(t_sort1 * 1000, 2),
+        "payload_sort_ms": round(t_sortp * 1000, 2),
+    }))
+
+
 def bench_stress(args):
     """The reference's C stress shape (ndt_downsample.c:5-13): one 90k-point
     random cloud -> 24 NDs, the viz.py Hz protocol."""
@@ -307,6 +478,13 @@ def main():
                    help="streaming regime: voxel sizes searched once, then "
                         "fixed for the timed loop (frame-stream production "
                         "mode, one voxelization per cloud)")
+    p.add_argument("--giant", action="store_true",
+                   help="giant-cloud config: one 1M+-point cloud through "
+                        "the point-sharded pipeline on a 1-chip mesh")
+    p.add_argument("--giant_points", type=int, default=1048576)
+    p.add_argument("--roofline", action="store_true",
+                   help="bytes-moved roofline accounting: HBM bandwidth, "
+                        "%-of-speed-of-light, sort-pass decomposition")
     args = p.parse_args()
 
     if args.use_pallas is None:
@@ -324,6 +502,12 @@ def main():
         return
     if args.multiscale:
         bench_multiscale(args)
+        return
+    if args.giant:
+        bench_giant(args)
+        return
+    if args.roofline:
+        bench_roofline(args)
         return
 
     import jax

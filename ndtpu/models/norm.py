@@ -54,8 +54,12 @@ class BatchNorm(nn.Module):
             axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axes)
-            # biased variance normalizes the batch (torch does the same)
-            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            # biased variance normalizes the batch (torch does the same).
+            # Two-pass form: E[(x-μ)²], NOT E[x²]-E[x]² — the one-pass form
+            # cancels catastrophically in f32 for activations with
+            # |mean| >> std (real NDT means sit meters from the origin)
+            # and a negative variance NaNs the whole training run.
+            var = jnp.mean(jnp.square(xf - mean), axes)
             if not self.is_initializing():
                 n = int(np.prod([x.shape[a] for a in axes]))
                 unbiased = var * (n / max(n - 1, 1))
