@@ -356,10 +356,13 @@ def bench_roofline(args):
             float(repeat(*inputs))
         return (time.perf_counter() - t0) / iters / inner
 
-    # (a) achievable HBM read bandwidth: one pass over 2^28 f32 (1 GiB)
+    # (a) achievable HBM bandwidth over 2^28 f32 (1 GiB). The scan's
+    # anti-CSE perturbation (x + carry*1e-20) is itself a read+write pass,
+    # so each iteration moves 3 GiB (read, write, read-for-reduce); the
+    # reduction's output traffic is negligible.
     big = jnp.ones((1 << 28,), jnp.float32)
     t_bw = scan_time(lambda x: jnp.sum(x * 1.000001), big, inner=4)
-    gbps = (big.size * 4) / t_bw / 1e9
+    gbps = (3 * big.size * 4) / t_bw / 1e9
 
     # (b) canonical preprocess
     batch = jnp.asarray(make_batch(B, N))
@@ -459,7 +462,7 @@ def main():
                         "— on when the first device is a TPU)")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--search", type=str, default="fast",
-                   choices=["fast", "reference"],
+                   choices=["fast", "reference", "grid"],
                    help="'fast' hits the same [n, 1.2n] acceptance band in "
                         "~2-5 voxelizations; 'reference' follows the C "
                         "bisection trajectory")

@@ -295,6 +295,124 @@ def _search_voxel_size(px, py, pz, mask, n_desired, mins, maxs,
     return final, done
 
 
+def _count_occupied_multi(px, py, pz, mask, sizes, mins, maxs,
+                          pair: bool = False):
+    """Occupied-voxel counts at G candidate sizes in ONE fused sort.
+
+    The TPU sort network is stage/latency-bound, not bandwidth-bound
+    (measured: a [16, 70000] int32 sort costs nearly the same as
+    [16, G, 70000] for small G — see bench.py --roofline), so counting G
+    candidates per round costs about one round. ``pair`` sorts the (zy, x)
+    key pair instead of the packed key (exact out to len_z*len_y < 2^31
+    grids). Returns counts [G]."""
+    if pair:
+        def one_keys(s):
+            lens, offsets = vx.estimate_voxel_grid(mins, maxs, s)
+
+            def coord(p, axis):
+                return vx.metric_to_voxel_axis(p, s, lens[axis], offsets[axis])
+
+            x, y, z = coord(px, 0), coord(py, 1), coord(pz, 2)
+            zy = jnp.where(mask, z * lens[1] + y, _INT_MAX)
+            return zy, jnp.where(mask, x, _INT_MAX)
+
+        zy, x = jax.vmap(one_keys)(sizes)     # [G, N] each
+        zy, x = jax.lax.sort((zy, x), dimension=-1, num_keys=2)
+        valid = zy != _INT_MAX
+        diff = jnp.ones_like(valid)
+        diff = diff.at[..., 1:].set(
+            (zy[..., 1:] != zy[..., :-1]) | (x[..., 1:] != x[..., :-1])
+        )
+        return jnp.sum((valid & diff).astype(jnp.int32), axis=-1)
+
+    def one_keys(s):
+        key, _, _ = _voxel_keys(px, py, pz, mask, s, mins, maxs)
+        return key
+
+    keys = jax.vmap(one_keys)(sizes)          # [G, N]
+    keys = jax.lax.sort(keys, dimension=-1)
+    valid = keys != _INT_MAX
+    diff = jnp.ones_like(valid)
+    diff = diff.at[..., 1:].set(keys[..., 1:] != keys[..., :-1])
+    return jnp.sum((valid & diff).astype(jnp.int32), axis=-1)
+
+
+def _search_voxel_size_grid(px, py, pz, mask, n_desired, mins, maxs,
+                            pair: bool = False, lo_min=None, g: int = 6,
+                            max_rounds: int = 5):
+    """Grid-refinement search: each round counts g log-spaced candidates
+    inside the bracket with one fused multi-candidate sort, accepts any
+    candidate in the reference band [n, 1.2n] (same acceptance semantics
+    as ndt.c:136-187 — only the trajectory differs), else shrinks the
+    bracket to the gap straddling the band. Bracket ratio shrinks by
+    ^(1/(g+1)) per round, so 3-4 rounds cover the full [0.01, 30] range —
+    vs ~4-6 sequential counts for the secant search, at ~1 fused count
+    per round."""
+    upper = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD))
+    target = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD / 2.0))
+    lo0 = jnp.float32(MIN_VOXEL_GUESS)
+    if lo_min is not None:
+        lo0 = jnp.maximum(lo0, lo_min)
+    hi0 = jnp.maximum(jnp.float32(MAX_VOXEL_GUESS), lo0)
+
+    init = (
+        jnp.array(False),                       # done
+        jnp.float32(0.0),                       # accepted size
+        jnp.log(lo0),                           # log lo
+        jnp.log(hi0),                           # log hi
+        jnp.int32(0),                           # round
+        jnp.float32(0.0),                       # best fallback size
+        jnp.int32(jnp.iinfo(jnp.int32).max),    # best fallback count >= n
+    )
+
+    def cond(c):
+        done, _, llo, lhi, it, _, _ = c
+        return ~done & (it < max_rounds)
+
+    def body(c):
+        done, acc, llo, lhi, it, best_g, best_c = c
+        fracs = jnp.arange(1, g + 1, dtype=jnp.float32) / jnp.float32(g + 1)
+        lsizes = llo + (lhi - llo) * fracs
+        sizes = jnp.exp(lsizes)
+        counts = _count_occupied_multi(
+            px, py, pz, mask, sizes, mins, maxs, pair=pair
+        )
+        countsf = counts.astype(jnp.float32)
+        in_band = (counts >= n_desired) & (countsf <= upper)
+        hit = jnp.any(in_band)
+        pick = jnp.argmin(jnp.where(in_band, jnp.abs(countsf - target),
+                                    jnp.inf))
+        # counts are (weakly) decreasing in size: the new bracket is the
+        # gap between the largest too-small size and the smallest
+        # too-large size
+        too_many = countsf > upper     # size too small -> raise lo
+        too_few = counts < n_desired   # size too large -> lower hi
+        new_llo = jnp.max(jnp.where(too_many, lsizes, llo))
+        new_lhi = jnp.min(jnp.where(too_few, lsizes, lhi))
+        new_lhi = jnp.maximum(new_lhi, new_llo)  # monotonicity guard
+        # fallback: smallest count still >= n seen anywhere (the
+        # best-guess superset semantics of the other searches)
+        ge = counts >= n_desired
+        cand_c = jnp.min(jnp.where(ge, counts, jnp.iinfo(jnp.int32).max))
+        cand_i = jnp.argmin(jnp.where(ge, counts, jnp.iinfo(jnp.int32).max))
+        better = cand_c < best_c
+        best_c = jnp.where(better, cand_c, best_c)
+        best_g = jnp.where(better, sizes[cand_i], best_g)
+        return (
+            done | hit,
+            jnp.where(~done & hit, sizes[pick], acc),
+            new_llo, new_lhi, it + 1, best_g, best_c,
+        )
+
+    done, acc, llo, lhi, _, best_g, best_c = jax.lax.while_loop(
+        cond, body, init
+    )
+    have_best = best_c < jnp.iinfo(jnp.int32).max
+    mid = jnp.exp((llo + lhi) * 0.5)
+    final = jnp.where(done, acc, jnp.where(have_best, best_g, mid))
+    return final, done
+
+
 def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs,
                             count_fn=_count_occupied, lo_min=None):
     """Accelerated search: same acceptance band [n, 1.2n] as the reference
@@ -576,7 +694,10 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
       num_class_slots: static, = n_classes + 1 in reference terms.
       search: "reference" follows the C bisection trajectory exactly
         (ndt.c:136-187); "fast" reaches the same acceptance band in ~2-5
-        voxelizations via a seeded secant iteration (2-4x fewer sorts).
+        voxelizations via a seeded secant iteration (2-4x fewer sorts);
+        "grid" evaluates 6 candidates per round in one fused sort
+        (~3 rounds total — fastest on TPU, where sorts are
+        latency-bound, see bench.py --roofline).
       fixed_voxel_size: optional runtime scalar; skips the search entirely
         (one voxelization) — for production streams where consecutive
         clouds share statistics, reuse `state.voxel_size` from a previous
@@ -627,6 +748,13 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
         requested = jnp.asarray(fixed_voxel_size, jnp.float32)
         voxel_size = jnp.maximum(requested, envelope)
         converged = voxel_size <= requested
+    elif search == "grid":
+        # fused multi-candidate rounds (see _search_voxel_size_grid);
+        # same acceptance band, lower bound clamped to the build envelope
+        voxel_size, converged = _search_voxel_size_grid(
+            px, py, pz, mask, n_desired, mins, maxs,
+            pair=(key_mode == "pair"), lo_min=envelope,
+        )
     elif search == "fast":
         # our own trajectory: clamp the lower bound to the build envelope
         # up front so every guess (and the accepted size) is buildable and

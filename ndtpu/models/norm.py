@@ -55,11 +55,15 @@ class BatchNorm(nn.Module):
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axes)
             # biased variance normalizes the batch (torch does the same).
-            # Two-pass form: E[(x-μ)²], NOT E[x²]-E[x]² — the one-pass form
+            # Two-pass form E[(x-μ)²], NOT E[x²]-E[x]²: the one-pass form
             # cancels catastrophically in f32 for activations with
-            # |mean| >> std (real NDT means sit meters from the origin)
-            # and a negative variance NaNs the whole training run.
-            var = jnp.mean(jnp.square(xf - mean), axes)
+            # |mean| >> std. The clamp is still REQUIRED: XLA's algebraic
+            # simplifier may reassociate the reduction (especially in the
+            # grad program), reintroducing enough cancellation to push a
+            # near-zero variance below -eps — rsqrt then NaNs the backward
+            # while the forward stays finite (observed on the transplanted
+            # parity run; flax BatchNorm clamps for the same reason).
+            var = jnp.maximum(jnp.mean(jnp.square(xf - mean), axes), 0.0)
             if not self.is_initializing():
                 n = int(np.prod([x.shape[a] for a in axes]))
                 unbiased = var * (n / max(n - 1, 1))
@@ -67,5 +71,11 @@ class BatchNorm(nn.Module):
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
                 ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # divide by sqrt rather than multiply by lax.rsqrt: the rsqrt
+        # backward miscompiles in this composition on the CPU backend
+        # (finite forward, NaN cotangents in ~20 feature columns of the
+        # preceding Dense kernel, eager grads fine — reproduced and
+        # bisected on the transplanted parity config). sqrt+divide is
+        # numerically equivalent and XLA lowers it efficiently on TPU.
+        y = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)

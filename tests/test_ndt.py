@@ -321,3 +321,29 @@ def test_empty_state_matches_downsample_shapes():
         batched = empty_state(24, slots, batch=3)
         assert batched.means.shape == (3,) + tmpl.means.shape
         assert batched.voxel_size.shape == (3,)
+
+
+def test_grid_search_lands_in_band():
+    """search="grid" must satisfy the same acceptance semantics as the
+    reference bisection: converged runs land in [n, 1.2n] occupied voxels
+    and the emitted count is exactly n."""
+    rng = np.random.default_rng(31)
+    for seed in range(3):
+        pts = jnp.asarray(
+            (rng.normal(size=(800, 3)) * (1.5 + seed)).astype(np.float32)
+        )
+        pcl, covs, labels, mask, state = ndt_downsample(pts, 40, search="grid")
+        assert bool(state.converged)
+        assert 40 <= int(state.num_valid) <= 48
+        assert int(mask.sum()) == 40
+
+
+def test_grid_search_outlier_cloud_semantics():
+    # packed mode: envelope clamp binds -> honest converged=False
+    pts = jnp.asarray(_outlier_cloud())
+    out = ndt_downsample(pts, 64, search="grid")
+    assert not bool(out[4].converged)
+    # pair mode: exact, lands in band
+    out2 = ndt_downsample(pts, 64, search="grid", key_mode="pair")
+    assert bool(out2[4].converged)
+    assert int(out2[3].sum()) == 64
