@@ -345,9 +345,11 @@ def _search_voxel_size_grid(px, py, pz, mask, n_desired, mins, maxs,
     candidate in the reference band [n, 1.2n] (same acceptance semantics
     as ndt.c:136-187 — only the trajectory differs), else shrinks the
     bracket to the gap straddling the band. Bracket ratio shrinks by
-    ^(1/(g+1)) per round, so 3-4 rounds cover the full [0.01, 30] range —
-    vs ~4-6 sequential counts for the secant search, at ~1 fused count
-    per round."""
+    ^(1/(g+1)) per round, so 3-4 rounds cover the full [0.01, 30] range.
+    Measured on the tunneled v5e: a [B, g, N] fused sort costs ~3x a
+    [B, N] sort (flat in g), so this does NOT beat the secant search
+    there (~2 sequential evals thanks to its surface-prior seed); it wins
+    only where wide sorts are near-free."""
     upper = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD))
     target = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD / 2.0))
     lo0 = jnp.float32(MIN_VOXEL_GUESS)
@@ -693,11 +695,14 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
       classes: optional [N] int class tags in [0, num_class_slots).
       num_class_slots: static, = n_classes + 1 in reference terms.
       search: "reference" follows the C bisection trajectory exactly
-        (ndt.c:136-187); "fast" reaches the same acceptance band in ~2-5
-        voxelizations via a seeded secant iteration (2-4x fewer sorts);
-        "grid" evaluates 6 candidates per round in one fused sort
-        (~3 rounds total — fastest on TPU, where sorts are
-        latency-bound, see bench.py --roofline).
+        (ndt.c:136-187); "fast" (the throughput default) reaches the same
+        acceptance band in ~2-5 voxelizations via a seeded secant
+        iteration; "grid" evaluates 6 candidates per round in one fused
+        multi-row sort (~2-3 rounds) — fewer sequential rounds, but
+        measured slower than "fast" on the current backend, where a G-row
+        sort costs ~3x a single-row sort (sort-scaling measurement in
+        BASELINE.md); kept for backends where wide sorts are closer to
+        free.
       fixed_voxel_size: optional runtime scalar; skips the search entirely
         (one voxelization) — for production streams where consecutive
         clouds share statistics, reuse `state.voxel_size` from a previous
