@@ -489,6 +489,151 @@ def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs,
     return final, done
 
 
+def _sort_payload_at(px, py, pz, mask, classes, size, mins, maxs, tagged,
+                     key_mode):
+    """One voxel-key + payload sort at `size`. Returns the sorted operand
+    tuple (key column(s), iota, px, py, pz[, cls]) — the exact operand
+    layout _build_state consumes."""
+    n = px.shape[0]
+    lens, offsets = vx.estimate_voxel_grid(mins, maxs, size)
+
+    def coord(p, axis):
+        return vx.metric_to_voxel_axis(p, size, lens[axis], offsets[axis])
+
+    xc, yc, zc = coord(px, 0), coord(py, 1), coord(pz, 2)
+    zy0 = jnp.where(mask, zc * lens[1] + yc, _INT_MAX)
+    if key_mode == "pair":
+        keys = (zy0, jnp.where(mask, xc, _INT_MAX))
+    else:
+        keys = (jnp.where(mask, zy0 * lens[0] + xc, _INT_MAX),)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    payload = (px, py, pz) + ((classes.astype(jnp.int32),) if tagged else ())
+    return jax.lax.sort(keys + (iota,) + payload, num_keys=len(keys) + 1)
+
+
+def _search_and_sort_fast(px, py, pz, mask, classes, n_desired, mins, maxs,
+                          lo_min, tagged, key_mode="packed"):
+    """Fast search fused with the build's payload sort.
+
+    Identical acceptance trajectory to _search_voxel_size_fast, but every
+    evaluation sorts the voxel key WITH the coordinate payload riding
+    along. TPU sorts are stage-bound, so payload operands cost only a few
+    percent (measured: 8.24 → 8.82 ms for +3 operands on a flat 1.12M-key
+    sort, bench.py --roofline) — and the accepted iteration's sort IS the
+    moment pass's sort, so _build_state skips its own full payload sort
+    (one [16, 70000] x 5-operand sort saved per canonical batch).
+
+    Non-convergence: one extra FORCED evaluation at the best fallback size
+    (smallest count >= n seen), so the carried sort always matches the
+    returned voxel size — the fallback semantics of the unfused searches,
+    at the price of one extra sort only on the (rare) unconverged clouds'
+    batches.
+
+    Returns (voxel_size, converged, sorted operand tuple).
+    """
+    upper = n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD)
+    target = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD / 2.0))
+    size0, _, _ = vx.estimate_voxel_size(n_desired, mins, maxs)
+    lo0 = jnp.float32(MIN_VOXEL_GUESS)
+    if lo_min is not None:
+        lo0 = jnp.maximum(lo0, lo_min)
+    size0 = jnp.clip(
+        jnp.nan_to_num(size0, nan=1.0),
+        lo0, jnp.maximum(jnp.float32(MAX_VOXEL_GUESS), lo0),
+    )
+    n_keys = 2 if key_mode == "pair" else 1
+
+    def count_of(cols):
+        skeys = cols[:n_keys]
+        valid = skeys[0] != _INT_MAX
+        diff = jnp.ones_like(valid)
+        neq = functools.reduce(
+            jnp.logical_or, [k[1:] != k[:-1] for k in skeys]
+        )
+        diff = diff.at[1:].set(neq)
+        return jnp.sum((valid & diff).astype(jnp.int32))
+
+    def evaluate(size):
+        cols = _sort_payload_at(
+            px, py, pz, mask, classes, size, mins, maxs, tagged, key_mode
+        )
+        return cols, count_of(cols)
+
+    big = jnp.iinfo(jnp.int32).max
+
+    def ingest(guess, count, lo, hi, best_g, best_c):
+        """Bookkeeping for one evaluation (matches the unfused search)."""
+        countf = count.astype(jnp.float32)
+        too_many = countf > upper
+        too_few = count < n_desired
+        hit = ~too_many & ~too_few
+        better = (count >= n_desired) & (count < best_c)
+        best_g = jnp.where(better, guess, best_g)
+        best_c = jnp.where(better, count, best_c)
+        lo = jnp.where(too_many, guess, lo)
+        hi = jnp.where(too_few, guess, hi)
+        return hit, lo, hi, best_g, best_c
+
+    # evaluation 0 (the seeded estimate) happens outside the loop, so
+    # every loop body is exactly one sort and the loop never runs for
+    # clouds whose seed already lands in band
+    size0 = size0.astype(jnp.float32)
+    cols0, count0 = evaluate(size0)
+    hit0, lo1, hi1, best_g0, best_c0 = ingest(
+        size0, count0, lo0,
+        jnp.maximum(jnp.float32(MAX_VOXEL_GUESS), lo0),
+        jnp.float32(0.0), jnp.int32(big),
+    )
+
+    init = (
+        hit0,                                  # accepted
+        size0,                                 # size the carried cols are at
+        lo1, hi1,
+        jnp.int32(1),                          # evaluations so far
+        best_g0, best_c0,
+        jnp.float32(0.0),                      # previous guess (none yet)
+        jnp.float32(0.0),                      # previous count
+        count0.astype(jnp.float32),            # current count
+        cols0,
+    )
+
+    def cond(c):
+        accepted, _, _, _, it, _, _, _, _, _, _ = c
+        return (~accepted) & (it < MAX_GUESS_ITERATIONS + 1)
+
+    def body(c):
+        (accepted, guess, lo, hi, it, best_g, best_c, pg, pc, countf,
+         cols) = c
+        # secant step in log-log space (see _search_voxel_size_fast)
+        dlog_c = jnp.log(jnp.maximum(countf, 1.0) / jnp.maximum(pc, 1.0))
+        dlog_g = jnp.log(jnp.where(pg > 0, pg, 1.0) / guess)
+        usable = (pg > 0) & (jnp.abs(dlog_g) > 1e-6) & (jnp.abs(dlog_c) > 1e-6)
+        alpha = jnp.where(usable, dlog_c / dlog_g, 2.0)
+        alpha = jnp.clip(alpha, 0.5, 4.0)
+        ratio = jnp.maximum(countf, 1.0) / target
+        secant = guess * jnp.power(ratio, 1.0 / alpha)
+        inside = (secant > lo) & (secant < hi)
+        nxt = jnp.where(inside, secant, lo + (hi - lo) / 2.0)
+        # last allowed evaluation: force the best fallback size (smallest
+        # count >= n seen) so the carried sort matches the returned size
+        # on non-converged clouds — the unfused searches' fallback
+        have_best = best_c < big
+        nxt = jnp.where(
+            (it >= MAX_GUESS_ITERATIONS) & have_best, best_g, nxt
+        )
+        cols, count = evaluate(nxt)
+        hit, lo, hi, best_g, best_c = ingest(
+            nxt, count, lo, hi, best_g, best_c
+        )
+        return (hit, nxt, lo, hi, it + 1, best_g, best_c, guess, countf,
+                count.astype(jnp.float32), cols)
+
+    accepted, guess, _, _, _, _, _, _, _, _, cols = jax.lax.while_loop(
+        cond, body, init
+    )
+    return guess, accepted, cols
+
+
 def _segment_starts(new_seg, iota, n, k_max):
     """Row indices of the first k_max segment starts, ascending; >= n marks
     "no such segment". Boundary positions come from sorting masked iotas
@@ -507,7 +652,7 @@ def _segment_starts(new_seg, iota, n, k_max):
 
 def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
                  converged, mins, maxs, k_max, use_pallas=False,
-                 key_mode="packed"):
+                 key_mode="packed", presorted=None):
     """Steps 3-4: sort by voxel key, reduce moments, compute neighbor KLs.
 
     Operates on structure-of-arrays coordinates end to end (see _voxel_keys
@@ -520,40 +665,37 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
     "pair" sorts the (zy, x) key pair — one extra int32 sort column —
     and is exact out to len_z*len_y < 2^31 grids (dense clusters plus
     km-scale outliers).
+
+    presorted: the sorted operand tuple from _search_and_sort_fast (the
+    accepted iteration's payload sort, at exactly `voxel_size`) — skips
+    this function's own sort.
     """
     n = px.shape[0]
     lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
-
-    def coord(p, axis):
-        return vx.metric_to_voxel_axis(p, voxel_size, lens[axis], offsets[axis])
-
-    xc, yc, zc = coord(px, 0), coord(py, 1), coord(pz, 2)
-    zy0 = jnp.where(mask, zc * lens[1] + yc, _INT_MAX)
-    if key_mode == "pair":
-        keys = (zy0, jnp.where(mask, xc, _INT_MAX))
-    else:
-        keys = (jnp.where(mask, zy0 * lens[0] + xc, _INT_MAX),)
-
-    # sort the voxel key(s) with the original index as a tie-breaking
-    # LAST key: duplicates get a total order, so downstream f32 segment
-    # sums accumulate in a fixed association order — bit-deterministic
-    # across shardings/layouts (payload-only permutations are not).
-    # Coordinates and classes ride along as sort PAYLOAD: a post-hoc
-    # px[perm] would be a gather along the lane dim, which TPU executes
-    # orders of magnitude slower than moving payload through the
-    # (VMEM-resident) sort network.
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     # with a single class slot (untagged clouds) the class column is
     # statically all-zero: its histogram equals the counts, so neither the
     # sort payload nor the scatter needs to carry it
     tagged = num_class_slots > 1
-    payload = (px, py, pz) + ((classes.astype(jnp.int32),) if tagged else ())
-    sorted_cols = jax.lax.sort(
-        keys + (iota,) + payload, num_keys=len(keys) + 1
-    )
-    skeys = sorted_cols[: len(keys)]
-    pxs, pys, pzs = sorted_cols[len(keys) + 1 : len(keys) + 4]
-    cls = sorted_cols[len(keys) + 4] if tagged else None
+    n_keys = 2 if key_mode == "pair" else 1
+    if presorted is None:
+        # sort the voxel key(s) with the original index as a tie-breaking
+        # LAST key: duplicates get a total order, so downstream f32 segment
+        # sums accumulate in a fixed association order — bit-deterministic
+        # across shardings/layouts (payload-only permutations are not).
+        # Coordinates and classes ride along as sort PAYLOAD: a post-hoc
+        # px[perm] would be a gather along the lane dim, which TPU executes
+        # orders of magnitude slower than moving payload through the
+        # (VMEM-resident) sort network.
+        sorted_cols = _sort_payload_at(
+            px, py, pz, mask, classes, voxel_size, mins, maxs, tagged,
+            key_mode,
+        )
+    else:
+        sorted_cols = presorted
+    skeys = sorted_cols[:n_keys]
+    pxs, pys, pzs = sorted_cols[n_keys + 1 : n_keys + 4]
+    cls = sorted_cols[n_keys + 4] if tagged else None
     valid_s = skeys[0] != _INT_MAX
     if key_mode == "pair":
         zy, x = skeys
@@ -761,16 +903,22 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
             pair=(key_mode == "pair"), lo_min=envelope,
         )
     elif search == "fast":
-        # our own trajectory: clamp the lower bound to the build envelope
-        # up front so every guess (and the accepted size) is buildable and
-        # the matching count is exact along the whole trajectory
-        voxel_size, converged = _search_voxel_size_fast(
-            px, py, pz, mask, n_desired, mins, maxs,
-            count_fn=(
-                _count_occupied_pair if key_mode == "pair" else _count_occupied
-            ),
-            lo_min=envelope,
+        # our own trajectory: lower bound clamped to the build envelope up
+        # front (every guess is buildable, counts exact throughout), with
+        # the payload riding along in each count sort — the accepted
+        # iteration's sort feeds _build_state directly, saving one full
+        # payload sort per call (see _search_and_sort_fast)
+        voxel_size, converged, presorted = _search_and_sort_fast(
+            px, py, pz, mask, classes, n_desired, mins, maxs,
+            lo_min=envelope, tagged=num_class_slots > 1, key_mode=key_mode,
         )
+        state = _build_state(
+            px, py, pz, mask, classes, num_class_slots, voxel_size,
+            converged, mins, maxs, k_max, use_pallas=use_pallas,
+            key_mode=key_mode, presorted=presorted,
+        )
+        pcl, covs, labels, out_mask = _emit(state, n_desired, prune_order)
+        return pcl, covs, labels, out_mask, state
     else:
         # exact C bisection trajectory (ndt.c:136-187): counts use the
         # (zy, x) pair key, exact out to len_z*len_y < 2^31 — the lower
