@@ -492,9 +492,14 @@ def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs,
 def _sort_payload_at(px, py, pz, mask, classes, size, mins, maxs, tagged,
                      key_mode):
     """One voxel-key + payload sort at `size`. Returns the sorted operand
-    tuple (key column(s), iota, px, py, pz[, cls]) — the exact operand
-    layout _build_state consumes."""
-    n = px.shape[0]
+    tuple (key column(s), px, py, pz[, cls]) — the exact operand layout
+    _build_state consumes.
+
+    lax.sort is stable (is_stable defaults True), so duplicate keys keep
+    their input order — the payload permutation is already a total,
+    deterministic order and downstream f32 segment sums accumulate in a
+    fixed association order without carrying an index tie-break column
+    (one less operand through the stage-bound sort network)."""
     lens, offsets = vx.estimate_voxel_grid(mins, maxs, size)
 
     def coord(p, axis):
@@ -506,9 +511,8 @@ def _sort_payload_at(px, py, pz, mask, classes, size, mins, maxs, tagged,
         keys = (zy0, jnp.where(mask, xc, _INT_MAX))
     else:
         keys = (jnp.where(mask, zy0 * lens[0] + xc, _INT_MAX),)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     payload = (px, py, pz) + ((classes.astype(jnp.int32),) if tagged else ())
-    return jax.lax.sort(keys + (iota,) + payload, num_keys=len(keys) + 1)
+    return jax.lax.sort(keys + payload, num_keys=len(keys))
 
 
 def _search_and_sort_fast(px, py, pz, mask, classes, n_desired, mins, maxs,
@@ -679,14 +683,11 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
     tagged = num_class_slots > 1
     n_keys = 2 if key_mode == "pair" else 1
     if presorted is None:
-        # sort the voxel key(s) with the original index as a tie-breaking
-        # LAST key: duplicates get a total order, so downstream f32 segment
-        # sums accumulate in a fixed association order — bit-deterministic
-        # across shardings/layouts (payload-only permutations are not).
-        # Coordinates and classes ride along as sort PAYLOAD: a post-hoc
+        # coordinates and classes ride along as sort PAYLOAD: a post-hoc
         # px[perm] would be a gather along the lane dim, which TPU executes
         # orders of magnitude slower than moving payload through the
-        # (VMEM-resident) sort network.
+        # (VMEM-resident) sort network; the stable sort keeps duplicate
+        # keys in input order, so the permutation is deterministic
         sorted_cols = _sort_payload_at(
             px, py, pz, mask, classes, voxel_size, mins, maxs, tagged,
             key_mode,
@@ -694,8 +695,8 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
     else:
         sorted_cols = presorted
     skeys = sorted_cols[:n_keys]
-    pxs, pys, pzs = sorted_cols[n_keys + 1 : n_keys + 4]
-    cls = sorted_cols[n_keys + 4] if tagged else None
+    pxs, pys, pzs = sorted_cols[n_keys : n_keys + 3]
+    cls = sorted_cols[n_keys + 3] if tagged else None
     valid_s = skeys[0] != _INT_MAX
     if key_mode == "pair":
         zy, x = skeys

@@ -119,10 +119,11 @@ def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
         key0 = _keys_soa(px, py, pz, msk, voxel_size, lens, offsets)
 
         # shard-local payload sort: coordinates/classes ride along (a
-        # post-hoc lane gather would dominate the whole pipeline)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-        key, _, pxs, pys, pzs, cls_s = jax.lax.sort(
-            (key0, iota, px, py, pz, cls.astype(jnp.int32)), num_keys=2
+        # post-hoc lane gather would dominate the whole pipeline); the
+        # stable sort keeps duplicate keys in input order, so no index
+        # tie-break column is needed
+        key, pxs, pys, pzs, cls_s = jax.lax.sort(
+            (key0, px, py, pz, cls.astype(jnp.int32)), num_keys=1
         )
         valid_s = key != _INT_MAX
 

@@ -83,12 +83,14 @@ def main():
                 px, py, pz, mask, M, mins, maxs
             )
 
-            key0, lens, offsets = nd._voxel_keys(
+            _, lens, offsets = nd._voxel_keys(
                 px, py, pz, mask, vs, mins, maxs
             )
             iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-            key, _, pxs, pys, pzs, cls = jax.lax.sort(
-                (key0, iota, px, py, pz, classes), num_keys=2
+            # production sort structure: stable key + payload, no
+            # tie-break column (ndt._sort_payload_at)
+            key, pxs, pys, pzs, cls = nd._sort_payload_at(
+                px, py, pz, mask, classes, vs, mins, maxs, True, "packed"
             )
             valid_s = key != nd._INT_MAX
             lxy = lens[0] * lens[1]
