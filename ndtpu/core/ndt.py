@@ -427,6 +427,11 @@ def _search_voxel_size_fast(px, py, pz, mask, n_desired, mins, maxs,
     converge in ~2-3 counts instead of the blind bisection's ~8-15.
     Bisection bounds are kept as a safety rail; the step falls back to the
     midpoint if the secant leaves them.
+
+    The production pipeline uses _search_and_sort_fast — this same
+    trajectory with the payload fused into each count sort; this unfused
+    twin is the measurement baseline (bench.py --components,
+    scripts/stage_timing.py) and the pair-count reference for tests.
     """
     upper = n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD)
     target = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD / 2.0))
