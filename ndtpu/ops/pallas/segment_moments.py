@@ -325,7 +325,7 @@ def fused_moments_sorted(xt, yt, zt, v, cls, seg_ids, num_segments: int,
     if block_n is None:
         import os
 
-        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "1024"))
+        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "512"))
     n = seg_ids.shape[-1]
     block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
     fn = _make_moments_fn(int(num_segments), int(slots), int(block_n))
@@ -345,7 +345,7 @@ def segment_sum_sorted(feats, seg_ids, num_segments: int,
     if block_n is None:
         import os
 
-        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "1024"))
+        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "512"))
     n = feats.shape[-2]
     block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
     fn = _make_fn(int(num_segments), int(block_n))
