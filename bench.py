@@ -134,9 +134,20 @@ def bench_components(args):
         def one(p):
             m = jnp.ones(p.shape[:1], bool)
             mins, maxs = vxm.pointcloud_limits(p, m)
-            fn = (nd._search_voxel_size_fast if args.search == "fast"
-                  else nd._search_voxel_size)
-            vs, _ = fn(p[:, 0], p[:, 1], p[:, 2], m, M, mins, maxs)
+            px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+            # mirror the production paths' envelope clamps and count
+            # functions (ndt_downsample), so the timed program matches
+            if args.search == "fast":
+                vs, _ = nd._search_voxel_size_fast(
+                    px, py, pz, m, M, mins, maxs,
+                    lo_min=nd._min_packable_voxel_size(mins, maxs),
+                )
+            else:
+                vs, _ = nd._search_voxel_size(
+                    px, py, pz, m, M, mins, maxs,
+                    count_fn=nd._count_occupied_pair,
+                    lo_min=nd._min_pair_packable_voxel_size(mins, maxs),
+                )
             return vs
 
         return jax.vmap(one)(pts)
@@ -254,7 +265,7 @@ def bench_giant(args):
     from ndtpu.parallel.point_sharded import make_point_sharded_downsample
 
     n_pts = args.giant_points
-    m = args.n_desired_nds if args.n_desired_nds != 1000 else 2080
+    m = args.giant_nds
     rng = np.random.default_rng(0)
     centers = rng.uniform(-40, 40, size=(4096, 3))
     per = n_pts // 4096 + 1
@@ -290,8 +301,11 @@ def bench_giant(args):
     @functools.partial(jax.jit, static_argnames=("inner",))
     def prune_repeat(st, inner: int):
         def body(carry, _):
+            # perturb a field _emit actually READS (min_kl drives the prune
+            # ranking) so the loop body is not loop-invariant — perturbing
+            # voxel_size would let XLA hoist the whole prune out of the scan
             pcl, covs, labels, msk = ndt_prune(
-                st.replace(voxel_size=st.voxel_size + carry * 1e-20), m // 2
+                st.replace(min_kl=st.min_kl + carry * 1e-20), m // 2
             )
             return jnp.sum(pcl), None
 
@@ -485,6 +499,9 @@ def main():
                    help="giant-cloud config: one 1M+-point cloud through "
                         "the point-sharded pipeline on a 1-chip mesh")
     p.add_argument("--giant_points", type=int, default=1048576)
+    p.add_argument("--giant_nds", type=int, default=2080,
+                   help="ND target for --giant (the reference's default "
+                        "trainer resolution, train.py:100)")
     p.add_argument("--roofline", action="store_true",
                    help="bytes-moved roofline accounting: HBM bandwidth, "
                         "%-of-speed-of-light, sort-pass decomposition")

@@ -18,8 +18,6 @@ distribution has ≤ 1 sample or a singular covariance are skipped.
 """
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

@@ -299,12 +299,12 @@ def _count_occupied_multi(px, py, pz, mask, sizes, mins, maxs,
                           pair: bool = False):
     """Occupied-voxel counts at G candidate sizes in ONE fused sort.
 
-    The TPU sort network is stage/latency-bound, not bandwidth-bound
-    (measured: a [16, 70000] int32 sort costs nearly the same as
-    [16, G, 70000] for small G — see bench.py --roofline), so counting G
-    candidates per round costs about one round. ``pair`` sorts the (zy, x)
-    key pair instead of the packed key (exact out to len_z*len_y < 2^31
-    grids). Returns counts [G]."""
+    One dispatch instead of G, but NOT free: measured on the tunneled
+    v5e, a [16, G, 70000] fused sort costs ~3x a [16, 70000] sort (flat
+    in G — see BASELINE.md's sort-scaling table), which is why the grid
+    search built on this is not the default there. ``pair`` sorts the
+    (zy, x) key pair instead of the packed key (exact out to
+    len_z*len_y < 2^31 grids). Returns counts [G]."""
     if pair:
         def one_keys(s):
             lens, offsets = vx.estimate_voxel_grid(mins, maxs, s)
@@ -894,6 +894,7 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
         envelope = _min_pair_packable_voxel_size(mins, maxs)
     else:
         envelope = _min_packable_voxel_size(mins, maxs)
+    presorted = None  # the fast search supplies the build's sort itself
     if fixed_voxel_size is not None:
         # clamp into the key-packing envelope (no-op for any size the
         # search itself could have produced); a binding clamp coarsens
@@ -918,13 +919,6 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
             px, py, pz, mask, classes, n_desired, mins, maxs,
             lo_min=envelope, tagged=num_class_slots > 1, key_mode=key_mode,
         )
-        state = _build_state(
-            px, py, pz, mask, classes, num_class_slots, voxel_size,
-            converged, mins, maxs, k_max, use_pallas=use_pallas,
-            key_mode=key_mode, presorted=presorted,
-        )
-        pcl, covs, labels, out_mask = _emit(state, n_desired, prune_order)
-        return pcl, covs, labels, out_mask, state
     else:
         # exact C bisection trajectory (ndt.c:136-187): counts use the
         # (zy, x) pair key, exact out to len_z*len_y < 2^31 — the lower
@@ -944,6 +938,7 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
     state = _build_state(
         px, py, pz, mask, classes, num_class_slots, voxel_size, converged,
         mins, maxs, k_max, use_pallas=use_pallas, key_mode=key_mode,
+        presorted=presorted,
     )
     pcl, covs, labels, out_mask = _emit(state, n_desired, prune_order)
     return pcl, covs, labels, out_mask, state

@@ -46,8 +46,12 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
     with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
         for start in range(0, n, batch_size):
             idxs = order[start:start + batch_size]
-            if len(idxs) < batch_size and drop_last:
-                return
+            if len(idxs) < batch_size:
+                if drop_last or num_processes > 1:
+                    # multi-process: a partial global batch would give
+                    # hosts unequal (possibly zero) shard sizes, which
+                    # breaks the global-array assembly — always drop it
+                    return
             local = idxs[process_id::num_processes]
             samples = list(pool.map(fetch, local))
             yield tuple(

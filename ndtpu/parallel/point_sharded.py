@@ -308,11 +308,16 @@ def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
 
         mins, maxs = vx.pointcloud_limits(points, mask)  # global-view reduce
         voxel_size, converged = search(points, mask, mins, maxs)
-        # packed-key moment pass needs the accepted size inside the int32
-        # grid envelope (same no-op clamp as core ndt_downsample)
-        voxel_size = jnp.maximum(
+        # the packed-key moment pass needs the accepted size inside the
+        # int32 grid envelope; if the clamp binds (dense cluster plus a
+        # km-scale outlier) the grid is coarsened, so converged must flip
+        # to False instead of silently reporting the accepted band — the
+        # same semantics as core ndt_downsample (ADVICE r1)
+        clamped = jnp.maximum(
             voxel_size, nd._min_packable_voxel_size(mins, maxs)
         )
+        converged &= clamped <= voxel_size
+        voxel_size = clamped
         lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
 
         mom = sharded_segment_moments(

@@ -80,7 +80,8 @@ def main():
             mins, maxs = vx.pointcloud_limits(p, mask)
             px, py, pz = p[:, 0], p[:, 1], p[:, 2]
             vs, _ = nd._search_voxel_size_fast(
-                px, py, pz, mask, M, mins, maxs
+                px, py, pz, mask, M, mins, maxs,
+                lo_min=nd._min_packable_voxel_size(mins, maxs),
             )
 
             _, lens, offsets = nd._voxel_keys(

@@ -169,3 +169,21 @@ def test_point_sharded_full_downsample_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(covs_sh), np.asarray(covs), atol=2e-4
     )
+
+
+def test_point_sharded_outlier_cloud_reports_unconverged():
+    """ADVICE r1 semantics must hold on the point-sharded path too: when
+    the packed-envelope clamp coarsens the accepted size (dense cluster +
+    km-scale outlier), converged flips to False instead of silently
+    collapsing the output."""
+    from ndtpu.parallel.point_sharded import make_point_sharded_downsample
+
+    rng = np.random.default_rng(23)
+    pts = rng.uniform(0.0, 1.0, size=(4096, 3)).astype(np.float32)
+    pts[-1] = [4000.0, 4000.0, 4000.0]
+
+    mesh = make_mesh(("points",))
+    fn = make_point_sharded_downsample(mesh, 64)
+    pcl, covs, labels, mask, state = fn(jnp.asarray(pts))
+    assert not bool(state.converged)
+    assert int(mask.sum()) < 64  # honest coarse output, flagged
