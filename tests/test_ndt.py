@@ -347,3 +347,38 @@ def test_grid_search_outlier_cloud_semantics():
     out2 = ndt_downsample(pts, 64, search="grid", key_mode="pair")
     assert bool(out2[4].converged)
     assert int(out2[3].sum()) == 64
+
+
+def test_fused_search_matches_unfused_trajectory():
+    """_search_and_sort_fast (production) must accept exactly the same
+    voxel size as _search_voxel_size_fast (the unfused measurement twin) —
+    the payload fusion may not perturb the secant trajectory."""
+    from ndtpu.core import voxel as vx
+    from ndtpu.core.ndt import (
+        _min_packable_voxel_size,
+        _search_and_sort_fast,
+        _search_voxel_size_fast,
+    )
+
+    rng = np.random.default_rng(41)
+    for i, (n, scale) in enumerate([(500, 1.0), (1200, 6.0), (900, 0.2)]):
+        pts = jnp.asarray((rng.normal(size=(n, 3)) * scale).astype(np.float32))
+        px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+        mask = jnp.ones((n,), bool)
+        classes = jnp.zeros((n,), jnp.int32)
+        mins, maxs = vx.pointcloud_limits(pts, mask)
+        env = _min_packable_voxel_size(mins, maxs)
+        vs_u, conv_u = _search_voxel_size_fast(
+            px, py, pz, mask, 40, mins, maxs, lo_min=env
+        )
+        vs_f, conv_f, cols = _search_and_sort_fast(
+            px, py, pz, mask, classes, 40, mins, maxs,
+            lo_min=env, tagged=False, key_mode="packed",
+        )
+        assert float(vs_u) == float(vs_f), (i, float(vs_u), float(vs_f))
+        assert bool(conv_u) == bool(conv_f)
+        # the carried sort is at exactly the returned size
+        resorted = jax.lax.sort(
+            (jnp.asarray(cols[0]),) , num_keys=1
+        )[0]
+        np.testing.assert_array_equal(np.asarray(cols[0]), np.asarray(resorted))
