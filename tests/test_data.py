@@ -187,3 +187,41 @@ def test_synthetic_cls_shapes_and_determinism():
     np.testing.assert_array_equal(pts, pts2)
     # all 8 classes cycle through
     assert sorted({ds[i][1] for i in range(16)}) == list(range(8))
+
+
+def test_batch_iterator_multi_process_slicing():
+    """Per-host slicing: same seeded global schedule on every 'host', each
+    yields its strided slice; partial global batches are always dropped
+    under multiple processes (unequal shards would break assembly)."""
+    ds = SyntheticSeg(n_classes=4, n_samples=32, length=9)
+
+    def collect(pid, nproc, batch_size, drop_last=True):
+        out = []
+        for pts, gt in batch_iterator(ds, batch_size, shuffle=True, seed=3,
+                                      drop_last=drop_last, process_id=pid,
+                                      num_processes=nproc):
+            out.append(pts)
+        return out
+
+    single = collect(0, 1, 4)
+    p0 = collect(0, 2, 4)
+    p1 = collect(1, 2, 4)
+    assert len(single) == len(p0) == len(p1) == 2  # 9 // 4, last dropped
+    for b, (a0, a1) in enumerate(zip(p0, p1)):
+        assert a0.shape[0] == a1.shape[0] == 2
+        # interleaving the two hosts' rows reconstructs the global batch
+        merged = np.empty_like(single[b])
+        merged[0::2] = a0
+        merged[1::2] = a1
+        np.testing.assert_array_equal(merged, single[b])
+
+    # drop_last=False keeps the partial batch single-process but still
+    # drops it multi-process
+    assert len(collect(0, 1, 4, drop_last=False)) == 3
+    assert len(collect(0, 2, 4, drop_last=False)) == 2
+    assert len(collect(1, 2, 4, drop_last=False)) == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        list(batch_iterator(ds, 5, process_id=0, num_processes=2))
