@@ -18,10 +18,18 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# NDTPU_PLATFORM=cpu pins the backend for local smoke runs (this image's
+# sitecustomize force-registers the tunneled TPU and ignores JAX_PLATFORMS)
+if os.environ.get("NDTPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["NDTPU_PLATFORM"])
 
 
 def make_batch(batch, n_points, seed=0):
@@ -183,6 +191,77 @@ def bench_components(args):
         "search": round(t_search * 1000, 2),
         "preprocess": round(t_prep * 1000, 2),
         "model": round(t_model * 1000, 2),
+    }))
+
+
+def bench_train(args):
+    """TPU benchmark of the TRAINING step — the reference's actual hot loop
+    (/root/reference/tools/train.py:16-92): on-device NDT preprocess +
+    NDTNetSegmentation forward + CE loss + backward + Adam, at the
+    canonical shape (B=16, N=70000, M=1000). Uses the SAME
+    `make_ndt_seg_step` program `tools/train.py` compiles (VERDICT r2 #1),
+    scanned on device with one scalar readback."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ndtpu.models import NDTNetSegmentation
+    from ndtpu.train.loop import make_ndt_seg_step
+    from ndtpu.train.state import create_train_state
+
+    B, N, M, C = (args.batch_size, args.n_samples, args.n_desired_nds,
+                  args.n_classes)
+    compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = NDTNetSegmentation(
+        num_classes=C, feature_dim=args.feature_dim, dtype=compute_dtype
+    )
+    tx = optax.adam(1e-3)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0),
+        jnp.zeros((B, M, 3)), jnp.zeros((B, M, 9)),
+        init_kwargs={"train": False},
+    )
+    step_fn, _ = make_ndt_seg_step(M, C, args.use_pallas, args.search)
+
+    points = jnp.asarray(make_batch(B, N))
+    labels = np.random.default_rng(1).integers(0, C, size=(B, N))
+    gt = jax.nn.one_hot(jnp.asarray(labels), C + 1, dtype=jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("inner",))
+    def repeat(state, points, gt, inner: int):
+        def body(carry, _):
+            st, tot = carry
+            st, metrics = step_fn(st, points, gt)
+            return (st, tot + metrics["loss"]), None
+
+        (st, tot), _ = jax.lax.scan(
+            body, (state, jnp.float32(0.0)), None, length=inner
+        )
+        return tot
+
+    # single-call step too (includes tunnel RTT), for the per-step view
+    new_state, metrics = step_fn(state, points, gt)
+    loss0 = float(metrics["loss"])
+
+    float(repeat(state, points, gt, args.inner))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        float(repeat(state, points, gt, args.inner))
+    t_step = (time.perf_counter() - t0) / args.iters / args.inner
+    tput = B / t_step
+    print(
+        f"[bench] train step (preprocess+fwd+CE+bwd+Adam): "
+        f"{t_step*1000:.2f} ms/step on-device -> {tput:.1f} clouds/s "
+        f"(batch {B}, N {N}, M {M}, search={args.search}); "
+        f"first-step loss {loss0:.4f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "train_step_throughput",
+        "value": round(tput, 3),
+        "unit": "clouds/s/chip",
+        "step_ms": round(t_step * 1000, 2),
+        "vs_baseline": None,
     }))
 
 
@@ -502,6 +581,10 @@ def main():
     p.add_argument("--giant_nds", type=int, default=2080,
                    help="ND target for --giant (the reference's default "
                         "trainer resolution, train.py:100)")
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the full TRAINING step (preprocess + "
+                        "forward + CE + backward + Adam) — the reference's "
+                        "hot loop — instead of the inference pipeline")
     p.add_argument("--roofline", action="store_true",
                    help="bytes-moved roofline accounting: HBM bandwidth, "
                         "%-of-speed-of-light, sort-pass decomposition")
@@ -514,6 +597,9 @@ def main():
         print(f"[bench] pallas segment-sum: {args.use_pallas} (auto)",
               file=sys.stderr)
 
+    if args.train:
+        bench_train(args)
+        return
     if args.components:
         bench_components(args)
         return

@@ -34,7 +34,17 @@ def read_off(path: str) -> np.ndarray:
 
 
 class ModelNetCls:
-    """ModelNet-style classification dataset."""
+    """ModelNet-style classification dataset.
+
+    Splits: "train", "test", "val", "train+holdout". ModelNet trees ship
+    only train/ and test/ directories, so "val" resolves to a real val/
+    directory when one exists, otherwise to a deterministic 10% holdout
+    (every 10th file per class, sorted order) of the train split;
+    "train+holdout" is the complementary 90% — train/val stay disjoint and
+    the test split is never used for model selection (the reference's
+    trainer offers no val handling at all, tools/train.py:125-137)."""
+
+    VAL_EVERY = 10  # 1-in-10 train files become the carved val holdout
 
     def __init__(self, root: str, split: str = "train", n_points: int = 2048,
                  seed: int = 0):
@@ -45,14 +55,26 @@ class ModelNetCls:
             d for d in os.listdir(root)
             if os.path.isdir(os.path.join(root, d))
         )
+        have_val_dir = any(
+            os.path.isdir(os.path.join(root, c, "val")) for c in self.classes
+        )
+        carve = None  # None = keep all, True = holdout only, False = rest
+        if split == "val" and not have_val_dir:
+            split, carve = "train", True
+        elif split == "train+holdout":
+            split, carve = "train", False
         self.items: List[Tuple[str, int]] = []
         for label, cls in enumerate(self.classes):
             d = os.path.join(root, cls, split)
             if not os.path.isdir(d):
                 d = os.path.join(root, cls)
-            for name in sorted(os.listdir(d)):
-                if name.endswith((".off", ".ply")):
-                    self.items.append((os.path.join(d, name), label))
+            names = [n for n in sorted(os.listdir(d))
+                     if n.endswith((".off", ".ply"))]
+            if carve is not None:
+                names = [n for i, n in enumerate(names)
+                         if (i % self.VAL_EVERY == 0) == carve]
+            for name in names:
+                self.items.append((os.path.join(d, name), label))
         self._rng = np.random.default_rng(seed)
 
     @property

@@ -40,6 +40,11 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set bfloat16 for MXU-native compute
     use_pallas: str = "auto"        # auto|on|off: Pallas segment-sum kernel
+    # voxel-size search inside the jitted step: "fast" (secant-seeded fused
+    # search, ~2 sorts — the benched configuration; trajectory-equivalent
+    # acceptance band, tests/test_ndt.py) or "reference" (the C core's
+    # <=15-sort bisection, ndt.c:136-187) or "grid"
+    search: str = "fast"
     data_axis: str = "data"
     seed: int = 0
     steps_per_epoch: Optional[int] = None  # derived from dataset when None
@@ -50,6 +55,13 @@ class TrainConfig:
     coordinator: Optional[str] = None
     num_processes: int = 1
     process_id: int = 0
+
+    def validate(self):
+        if self.search not in ("fast", "reference", "grid"):
+            raise ValueError(
+                f"--search must be fast|reference|grid, got {self.search!r}"
+            )
+        return self
 
     def resolve_use_pallas(self) -> bool:
         """auto -> the fused Pallas segment-sum on TPU, XLA path elsewhere."""
@@ -96,4 +108,4 @@ class TrainConfig:
             else:
                 parser.add_argument(f"--{f.name}", type=str, default=default)
         ns = parser.parse_args(argv)
-        return cls(**vars(ns))
+        return cls(**vars(ns)).validate()

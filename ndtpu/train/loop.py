@@ -58,7 +58,7 @@ def accuracy(logits_or_probs, onehot, mask=None):
 
 
 def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, search: str = "fast"):
     """Train step for NDTNetSegmentation: on-device NDT preprocessing fused
     into the step (deletes the host loop of ndtnet_preprocessing.py:27-63).
 
@@ -68,7 +68,7 @@ def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
     @jax.jit
     def step(state, points, gt_onehot):
         pcl, covs, gt, mask, _ = ndt_preprocessing_with_state(
-            n_desired_nds, points, gt_onehot, n_classes, use_pallas
+            n_desired_nds, points, gt_onehot, n_classes, use_pallas, search
         )
 
         def loss_fn(params):
@@ -90,7 +90,7 @@ def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
     @jax.jit
     def eval_step(state, points, gt_onehot):
         pcl, covs, gt, mask, _ = ndt_preprocessing_with_state(
-            n_desired_nds, points, gt_onehot, n_classes, use_pallas
+            n_desired_nds, points, gt_onehot, n_classes, use_pallas, search
         )
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -141,7 +141,7 @@ def make_pointnet_seg_step():
 
 
 def make_multiscale_seg_step(fine_res: int, coarse_res: int, n_classes: int,
-                             use_pallas: bool = False):
+                             use_pallas: bool = False, search: str = "fast"):
     """Train step for NDTNetPPSegmentation (the working version of the
     broken reference trainer, tools/train_multiscale.py — SURVEY.md §2.4):
     fine + coarse NDT preprocessing on device, fine state threaded into the
@@ -149,10 +149,10 @@ def make_multiscale_seg_step(fine_res: int, coarse_res: int, n_classes: int,
 
     def _prep(points, gt_onehot):
         p1, c1, gt1, m1, state1 = ndt_preprocessing_with_state(
-            fine_res, points, gt_onehot, n_classes, use_pallas
+            fine_res, points, gt_onehot, n_classes, use_pallas, search
         )
         p2, c2, _, _, _ = ndt_preprocessing_with_state(
-            coarse_res, points, gt_onehot, n_classes, use_pallas
+            coarse_res, points, gt_onehot, n_classes, use_pallas, search
         )
         return p1, c1, gt1, m1, state1, p2, c2
 
@@ -192,14 +192,14 @@ def make_multiscale_seg_step(fine_res: int, coarse_res: int, n_classes: int,
 
 
 def make_classification_step(n_desired_nds: int, n_classes: int,
-                             use_pallas: bool = False):
+                             use_pallas: bool = False, search: str = "fast"):
     """Train step for NDTNetClassification: batch = (points [B, N, 3],
     label_onehot [B, num_classes])."""
 
     @jax.jit
     def step(state, points, label_onehot):
         pcl, covs, _, mask, _ = ndt_preprocessing_with_state(
-            n_desired_nds, points, None, n_classes, use_pallas
+            n_desired_nds, points, None, n_classes, use_pallas, search
         )
 
         def loss_fn(params):
@@ -221,7 +221,7 @@ def make_classification_step(n_desired_nds: int, n_classes: int,
     @jax.jit
     def eval_step(state, points, label_onehot):
         pcl, covs, _, mask, _ = ndt_preprocessing_with_state(
-            n_desired_nds, points, None, n_classes, use_pallas
+            n_desired_nds, points, None, n_classes, use_pallas, search
         )
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},

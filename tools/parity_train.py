@@ -103,9 +103,11 @@ def make_torch_models(task, n_classes, feature_dim, seed):
 
 
 def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
-                batch, lr, loss_mode):
+                batch, lr, loss_mode, eval_every=0):
     """Train the reference model on the preprocessed tensors; returns the
-    per-epoch accuracy curve + final test accuracy (train.py:84-87 metric)."""
+    per-epoch accuracy/loss curves + final test accuracy (train.py:84-87
+    metric). eval_every=K also records test accuracy every K epochs
+    (eval has no side effects — training math is unchanged)."""
     import torch
     import torch.nn.functional as F
 
@@ -133,10 +135,20 @@ def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
             acc = (hit * mask).sum() / mask.sum().clamp(min=1)
         return loss, acc
 
-    curve = []
+    def eval_test():
+        t_model.eval()
+        with torch.no_grad():
+            idx = np.arange(test_d["pcl"].shape[0])
+            pcl, covs, gt, mask = tensors(test_d, idx)
+            lab = torch.tensor(labels_te) if labels_te is not None else None
+            out = t_model(pcl, covs)
+            _, test_acc = loss_and_acc(out, gt, mask, lab)
+        return float(test_acc)
+
+    curve, loss_curve, test_curve = [], [], []
     for ep, perm in enumerate(perms):
         t_model.train()
-        ep_acc = []
+        ep_acc, ep_loss = [], []
         for i in range(0, len(perm) - batch + 1, batch):
             idx = perm[i:i + batch]
             pcl, covs, gt, mask = tensors(train_d, idx)
@@ -148,20 +160,18 @@ def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
             loss.backward()
             opt.step()
             ep_acc.append(float(acc))
+            ep_loss.append(float(loss))
         curve.append(float(np.mean(ep_acc)))
+        loss_curve.append(float(np.mean(ep_loss)))
+        if eval_every and (ep + 1) % eval_every == 0:
+            test_curve.append(eval_test())
 
-    t_model.eval()
-    with torch.no_grad():
-        idx = np.arange(test_d["pcl"].shape[0])
-        pcl, covs, gt, mask = tensors(test_d, idx)
-        lab = torch.tensor(labels_te) if labels_te is not None else None
-        out = t_model(pcl, covs)
-        _, test_acc = loss_and_acc(out, gt, mask, lab)
-    return curve, float(test_acc)
+    test_acc = eval_test()
+    return curve, test_acc, loss_curve, test_curve
 
 
 def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
-                perms, batch, lr, n_classes, feature_dim):
+                perms, batch, lr, n_classes, feature_dim, eval_every=0):
     """Train the flax twin from the SAME transplanted init, same schedule."""
     import jax
     import jax.numpy as jnp
@@ -220,9 +230,16 @@ def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
             return jax.nn.one_hot(labels[idx], n_classes)
         return jnp.asarray(d["gt"][idx])
 
-    curve = []
+    def eval_test(state):
+        idx = np.arange(test_d["pcl"].shape[0])
+        return float(evaluate(
+            state, jnp.asarray(test_d["pcl"]), jnp.asarray(test_d["covs"]),
+            target_of(test_d, labels_te, idx), jnp.asarray(test_d["mask"]),
+        ))
+
+    curve, loss_curve, test_curve = [], [], []
     for ep, perm in enumerate(perms):
-        ep_acc = []
+        ep_acc, ep_loss = [], []
         for i in range(0, len(perm) - batch + 1, batch):
             idx = perm[i:i + batch]
             state, loss, acc = step(
@@ -232,14 +249,13 @@ def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
                 jnp.asarray(train_d["mask"][idx]),
             )
             ep_acc.append(float(acc))
+            ep_loss.append(float(loss))
         curve.append(float(np.mean(ep_acc)))
+        loss_curve.append(float(np.mean(ep_loss)))
+        if eval_every and (ep + 1) % eval_every == 0:
+            test_curve.append(eval_test(state))
 
-    idx = np.arange(test_d["pcl"].shape[0])
-    test_acc = evaluate(
-        state, jnp.asarray(test_d["pcl"]), jnp.asarray(test_d["covs"]),
-        target_of(test_d, labels_te, idx), jnp.asarray(test_d["mask"]),
-    )
-    return curve, float(test_acc)
+    return curve, eval_test(state), loss_curve, test_curve
 
 
 def main():
@@ -258,6 +274,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--torch_loss", default="intent",
                     choices=["intent", "literal"])
+    ap.add_argument("--eval_every", type=int, default=0,
+                    help="also record test accuracy every K epochs (eval is "
+                         "side-effect-free; training math is unchanged)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -285,16 +304,17 @@ def main():
     rng = np.random.default_rng(args.seed + 13)
     perms = [rng.permutation(args.train_size) for _ in range(args.epochs)]
 
-    j_curve, j_test = train_ndtpu(
+    j_curve, j_test, j_loss, j_testc = train_ndtpu(
         variables, args.task, train_d, test_d, tr_lab, te_lab, perms,
         args.batch_size, args.lr, n_classes, args.feature_dim,
+        args.eval_every,
     )
     print(f"[parity] ndtpu trained ({time.time() - t0:.1f}s): "
           f"final train acc {j_curve[-1]:.4f}, test acc {j_test:.4f}",
           flush=True)
-    t_curve, t_test = train_torch(
+    t_curve, t_test, t_loss, t_testc = train_torch(
         t_model, args.task, train_d, test_d, tr_lab, te_lab, perms,
-        args.batch_size, args.lr, args.torch_loss,
+        args.batch_size, args.lr, args.torch_loss, args.eval_every,
     )
     print(f"[parity] torch reference trained ({time.time() - t0:.1f}s): "
           f"final train acc {t_curve[-1]:.4f}, test acc {t_test:.4f}",
@@ -310,8 +330,10 @@ def main():
         "batch_size": args.batch_size,
         "lr": args.lr,
         "torch_loss": args.torch_loss,
-        "ndtpu": {"train_curve": j_curve, "test_accuracy": j_test},
-        "torch_reference": {"train_curve": t_curve, "test_accuracy": t_test},
+        "ndtpu": {"train_curve": j_curve, "test_accuracy": j_test,
+                  "train_loss_curve": j_loss, "test_curve": j_testc},
+        "torch_reference": {"train_curve": t_curve, "test_accuracy": t_test,
+                            "train_loss_curve": t_loss, "test_curve": t_testc},
         "parity": j_test >= t_test - 0.02,
         "wall_s": round(time.time() - t0, 1),
     }

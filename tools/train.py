@@ -35,7 +35,12 @@ from ndtpu.train.state import create_train_state, restore_checkpoint, save_check
 
 
 def run_epoch(step_fn, state, loader, train: bool):
-    total = {"loss": 0.0, "accuracy": 0.0}
+    """One epoch with ON-DEVICE metric accumulation: metrics stay device
+    scalars summed lazily per step and are read back ONCE at epoch end.
+    The reference host-syncs every batch (train.py:84-90); on a tunneled
+    TPU a per-step `float()` costs a ~25 ms round trip against a ~15 ms
+    step, so the readback must be hoisted out of the hot loop."""
+    total = {"loss": jnp.float32(0.0), "accuracy": jnp.float32(0.0)}
     n = 0
     metrics = total
     for batch in loader:
@@ -44,8 +49,8 @@ def run_epoch(step_fn, state, loader, train: bool):
         else:
             metrics = step_fn(state, *batch)
         n += 1
-        total = {k: total[k] + float(metrics[k]) for k in total}
-    mean = {k: (v / max(n, 1)) for k, v in total.items()}
+        total = {k: total[k] + metrics[k] for k in total}
+    mean = {k: (float(v) / max(n, 1)) for k, v in total.items()}
     return state, {**{f"last_{k}": float(v) for k, v in metrics.items()},
                    **{f"mean_{k}": v for k, v in mean.items()}}
 
@@ -73,9 +78,27 @@ def make_cls_dataset(cfg, split, seed):
     path = {"train": cfg.train_path, "val": cfg.val_path,
             "test": cfg.test_path}[split]
     if path:
-        ds = ModelNetCls(path, split="train" if split == "train" else "test",
-                         n_points=cfg.n_samples, seed=seed)
-        return _OneHotCls(ds, max(cfg.n_classes, ds.n_classes))
+        # Model selection must not happen on the test split: when the val
+        # root is the train root (ModelNet trees ship only train/ + test/
+        # dirs), ModelNetCls carves a deterministic 10% holdout out of the
+        # train split ("val") and excludes it from training.
+        carve = bool(cfg.val_path) and cfg.val_path == cfg.train_path
+        ds_split = {
+            "train": "train+holdout" if carve else "train",
+            "val": "val",
+            "test": "test",
+        }[split]
+        ds = ModelNetCls(path, split=ds_split, n_points=cfg.n_samples,
+                         seed=seed)
+        if ds.n_classes > cfg.n_classes:
+            # fail fast: the model head is built with cfg.n_classes slots;
+            # silently truncating labels would corrupt the loss
+            raise ValueError(
+                f"dataset at {path} has {ds.n_classes} classes but "
+                f"--n_classes is {cfg.n_classes}; pass --n_classes "
+                f">= {ds.n_classes}"
+            )
+        return _OneHotCls(ds, cfg.n_classes)
     ds = SyntheticCls(n_points=cfg.n_samples, length=32, seed=seed)
     return _OneHotCls(ds, cfg.n_classes)
 
@@ -111,7 +134,8 @@ def main():
             dtype=jnp.dtype(cfg.compute_dtype),
         )
         step_fn, eval_fn = make_classification_step(
-            cfg.n_desired_nds, cfg.n_classes, cfg.resolve_use_pallas()
+            cfg.n_desired_nds, cfg.n_classes, cfg.resolve_use_pallas(),
+            cfg.search,
         )
     else:
         model = NDTNetSegmentation(
@@ -119,7 +143,8 @@ def main():
             dtype=jnp.dtype(cfg.compute_dtype),
         )
         step_fn, eval_fn = make_ndt_seg_step(
-            cfg.n_desired_nds, cfg.n_classes, cfg.resolve_use_pallas()
+            cfg.n_desired_nds, cfg.n_classes, cfg.resolve_use_pallas(),
+            cfg.search,
         )
 
     state = create_train_state(
