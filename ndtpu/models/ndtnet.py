@@ -35,18 +35,19 @@ class NDTNet(nn.Module):
     feature_dim: int = 768
     extra_type: AdditionalFeatures = AdditionalFeatures.COVARIANCES
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points, covariances=None, features=None,
                  train: bool = False):
         norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
         b, n, d = points.shape
 
         # input transform on the means (ndtnet.py:133-136)
-        t = TNet(in_dim=self.point_dim, dtype=self.dtype)(points, train)
+        t = TNet(in_dim=self.point_dim, dtype=self.dtype, param_dtype=self.param_dtype)(points, train)
         p = jnp.einsum("bij,bnj->bni", t, points)
 
         parts = [p]
@@ -59,15 +60,15 @@ class NDTNet(nn.Module):
             parts.append(features)
         x = jnp.concatenate(parts, axis=-1)  # [B, N, 3(+9)(+F)]
 
-        x = norm()(nn.Dense(64, dtype=self.dtype)(x))  # ndtnet.py:149, no ReLU
+        x = norm()(nn.Dense(64, dtype=self.dtype, param_dtype=self.param_dtype)(x))  # ndtnet.py:149, no ReLU
 
         # feature transform (ndtnet.py:152-155)
-        t2 = TNet(in_dim=64, dtype=self.dtype)(x, train)
+        t2 = TNet(in_dim=64, dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
         x = jnp.einsum("bnj,bji->bni", x, t2)
         x_t2 = x
 
-        x = norm()(nn.Dense(128, dtype=self.dtype)(x))             # :160
-        x = norm()(nn.Dense(self.feature_dim, dtype=self.dtype)(x))  # :161
+        x = norm()(nn.Dense(128, dtype=self.dtype, param_dtype=self.param_dtype)(x))             # :160
+        x = norm()(nn.Dense(self.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype)(x))  # :161
         return x, x_t2
 
 
@@ -78,17 +79,19 @@ class NDTNetClassification(nn.Module):
     num_classes: int = 512
     feature_dim: int = 768
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points, covariances, train: bool = False,
                  return_logits: bool = False):
         x, _ = NDTNet(
             self.point_dim, self.feature_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype,
         )(points, covariances, train=train)
         x = jnp.max(x, axis=1)  # :186
-        x = nn.relu(nn.Dense(512, dtype=self.dtype)(x))
-        x = nn.relu(nn.Dense(256, dtype=self.dtype)(x))
-        x = nn.Dense(self.num_classes, dtype=self.dtype)(x)
+        x = nn.relu(nn.Dense(512, dtype=self.dtype, param_dtype=self.param_dtype)(x))
+        x = nn.relu(nn.Dense(256, dtype=self.dtype, param_dtype=self.param_dtype)(x))
+        x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if return_logits:
             return x
         return nn.softmax(x, axis=-1)  # :194
@@ -101,26 +104,28 @@ class NDTNetSegmentation(nn.Module):
     num_classes: int = 16
     feature_dim: int = 1024
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points, covariances, train: bool = False,
                  return_logits: bool = False):
         norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
         x, x_t2 = NDTNet(
             self.point_dim, self.feature_dim, dtype=self.dtype,
+            param_dtype=self.param_dtype,
         )(points, covariances, train=train)
         pooled = jnp.max(x, axis=1, keepdims=True)       # :224
         pooled = jnp.broadcast_to(
             pooled, (x.shape[0], x.shape[1], x.shape[2])
         )                                                # :227
         x = jnp.concatenate([x_t2, pooled], axis=-1)     # :230 (feat+64)
-        x = nn.relu(norm()(nn.Dense(512, dtype=self.dtype)(x)))
-        x = nn.relu(norm()(nn.Dense(256, dtype=self.dtype)(x)))
-        x = nn.relu(norm()(nn.Dense(128, dtype=self.dtype)(x)))
-        x = nn.Dense(self.num_classes + 1, dtype=self.dtype)(x)
+        x = nn.relu(norm()(nn.Dense(512, dtype=self.dtype, param_dtype=self.param_dtype)(x)))
+        x = nn.relu(norm()(nn.Dense(256, dtype=self.dtype, param_dtype=self.param_dtype)(x)))
+        x = nn.relu(norm()(nn.Dense(128, dtype=self.dtype, param_dtype=self.param_dtype)(x)))
+        x = nn.Dense(self.num_classes + 1, dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if return_logits:
             return x
         return nn.log_softmax(x, axis=-1)  # :239

@@ -31,15 +31,16 @@ class ResidualConnection(nn.Module):
     in_points: int
     out_points: int
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: [B, in_points, F] -> [B, out_points, F]."""
         h = jnp.swapaxes(x, 1, 2)  # [B, F, in_points]
-        h = nn.Dense(self.out_points, dtype=self.dtype)(h)
+        h = nn.Dense(self.out_points, dtype=self.dtype, param_dtype=self.param_dtype)(h)
         h = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )(h)  # normalizes each output point-row over (B, F), like BN1d(:19)
         h = nn.relu(h)
         return jnp.swapaxes(h, 1, 2)  # [B, out_points, F]
@@ -58,19 +59,21 @@ class NDTNetPP(nn.Module):
     coarse_res: int = 4080
     feature_dim: int = 1024
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points1, covariances1, state1: NDTResult,
                  points2, covariances2, train: bool = False):
         ndtnet1 = NDTNet(
             self.point_dim, self.feature_dim,
-            AdditionalFeatures.COVARIANCES, self.dtype,
+            AdditionalFeatures.COVARIANCES, self.dtype, self.param_dtype,
         )
         ndtnet2 = NDTNet(
             self.point_dim, self.feature_dim,
-            AdditionalFeatures.FEATURE_VECTOR, self.dtype,
+            AdditionalFeatures.FEATURE_VECTOR, self.dtype, self.param_dtype,
         )
-        residual = ResidualConnection(self.fine_res, self.coarse_res, self.dtype)
+        residual = ResidualConnection(self.fine_res, self.coarse_res, self.dtype,
+                                       self.param_dtype)
 
         # BRANCH 1: fine resolution (ndtnetpp.py:106)
         feat1, _ = ndtnet1(points1, covariances1, train=train)  # [B, N1, F]
@@ -97,8 +100,8 @@ class NDTNetPP(nn.Module):
         feat = feat1_ + feat2
         feat = BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
-        )(nn.Dense(self.feature_dim, dtype=self.dtype)(feat))
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )(nn.Dense(self.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype)(feat))
         return feat, feat1
 
 
@@ -111,18 +114,19 @@ class NDTNetPPClassification(nn.Module):
     coarse_res: int = 4080
     feature_dim: int = 1024
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points1, covariances1, state1, points2, covariances2,
                  train: bool = False, return_logits: bool = False):
         x, _ = NDTNetPP(
             self.point_dim, self.fine_res, self.coarse_res,
-            self.feature_dim, self.dtype,
+            self.feature_dim, self.dtype, self.param_dtype,
         )(points1, covariances1, state1, points2, covariances2, train)
         x = jnp.max(x, axis=1)  # :168
-        x = nn.relu(nn.Dense(512, dtype=self.dtype)(x))
-        x = nn.relu(nn.Dense(256, dtype=self.dtype)(x))
-        x = nn.Dense(self.num_classes, dtype=self.dtype)(x)
+        x = nn.relu(nn.Dense(512, dtype=self.dtype, param_dtype=self.param_dtype)(x))
+        x = nn.relu(nn.Dense(256, dtype=self.dtype, param_dtype=self.param_dtype)(x))
+        x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if return_logits:
             return x
         return nn.softmax(x, axis=-1)  # :176
@@ -138,29 +142,31 @@ class NDTNetPPSegmentation(nn.Module):
     coarse_res: int = 4080
     feature_dim: int = 1024
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points1, covariances1, state1, points2, covariances2,
                  train: bool = False, return_logits: bool = False):
         norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
         x, x1 = NDTNetPP(
             self.point_dim, self.fine_res, self.coarse_res,
-            self.feature_dim, self.dtype,
+            self.feature_dim, self.dtype, self.param_dtype,
         )(points1, covariances1, state1, points2, covariances2, train)
 
         # upsample coarse features back to the fine resolution (:225)
-        x = ResidualConnection(self.coarse_res, self.fine_res, self.dtype)(
+        x = ResidualConnection(self.coarse_res, self.fine_res, self.dtype,
+                               self.param_dtype)(
             x, train
         )
         x = x + x1  # :228
 
-        x = nn.relu(norm()(nn.Dense(512, dtype=self.dtype)(x)))
-        x = nn.relu(norm()(nn.Dense(256, dtype=self.dtype)(x)))
-        x = nn.relu(norm()(nn.Dense(128, dtype=self.dtype)(x)))
-        x = nn.Dense(self.num_classes + 1, dtype=self.dtype)(x)
+        x = nn.relu(norm()(nn.Dense(512, dtype=self.dtype, param_dtype=self.param_dtype)(x)))
+        x = nn.relu(norm()(nn.Dense(256, dtype=self.dtype, param_dtype=self.param_dtype)(x)))
+        x = nn.relu(norm()(nn.Dense(128, dtype=self.dtype, param_dtype=self.param_dtype)(x)))
+        x = nn.Dense(self.num_classes + 1, dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if return_logits:
             return x
         return nn.softmax(x, axis=-1)  # :236

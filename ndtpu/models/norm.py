@@ -35,24 +35,31 @@ class BatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         feat = x.shape[-1]
+        # statistics are computed at least in f32; under x64 (f64 inputs)
+        # they stay f64 so cross-device reductions carry f64 precision
+        # (the multi-host lr>0 equality test depends on this)
+        sdt = jnp.promote_types(x.dtype, jnp.float32)
         ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), self.param_dtype)
         )
         ra_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+            "batch_stats", "var", lambda: jnp.ones((feat,), self.param_dtype)
         )
-        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          self.param_dtype)
 
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
+            xf = x.astype(sdt)
             mean = jnp.mean(xf, axes)
             # biased variance normalizes the batch (torch does the same).
             # Two-pass form E[(x-μ)²], NOT E[x²]-E[x]²: the one-pass form
@@ -68,8 +75,12 @@ class BatchNorm(nn.Module):
                 n = int(np.prod([x.shape[a] for a in axes]))
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum
-                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
-                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+                ra_mean.value = (
+                    m * ra_mean.value + (1.0 - m) * mean
+                ).astype(self.param_dtype)
+                ra_var.value = (
+                    m * ra_var.value + (1.0 - m) * unbiased
+                ).astype(self.param_dtype)
 
         # divide by sqrt rather than multiply by lax.rsqrt: the rsqrt
         # backward miscompiles in this composition on the CPU backend
@@ -77,5 +88,5 @@ class BatchNorm(nn.Module):
         # preceding Dense kernel, eager grads fine — reproduced and
         # bisected on the transplanted parity config). sqrt+divide is
         # numerically equivalent and XLA lowers it efficiently on TPU.
-        y = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.epsilon)
+        y = (x.astype(sdt) - mean) / jnp.sqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)

@@ -23,27 +23,28 @@ class PointNet(nn.Module):
     point_dim: int = 3
     feature_dim: int = 768
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
         # input transform (pointnet.py:114-117)
-        t = TNet(in_dim=self.point_dim, dtype=self.dtype)(x, train)
+        t = TNet(in_dim=self.point_dim, dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
         x = jnp.einsum("bij,bnj->bni", t, x)
         x = jnp.nan_to_num(x)
 
-        x = norm()(nn.Dense(64, dtype=self.dtype)(x))      # :120, no ReLU
+        x = norm()(nn.Dense(64, dtype=self.dtype, param_dtype=self.param_dtype)(x))      # :120, no ReLU
 
         # feature transform (pointnet.py:123-126)
-        t2 = TNet(in_dim=64, dtype=self.dtype)(x, train)
+        t2 = TNet(in_dim=64, dtype=self.dtype, param_dtype=self.param_dtype)(x, train)
         x = jnp.einsum("bnj,bji->bni", x, t2)
         x_t2 = x
 
-        x = norm()(nn.Dense(128, dtype=self.dtype)(x))     # :131, no ReLU
-        x = norm()(nn.Dense(self.feature_dim, dtype=self.dtype)(x))  # :132
+        x = norm()(nn.Dense(128, dtype=self.dtype, param_dtype=self.param_dtype)(x))     # :131, no ReLU
+        x = norm()(nn.Dense(self.feature_dim, dtype=self.dtype, param_dtype=self.param_dtype)(x))  # :132
         return x, x_t2
 
 
@@ -54,16 +55,18 @@ class PointNetClassification(nn.Module):
     num_classes: int = 512
     feature_dim: int = 768
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points, train: bool = False, return_logits: bool = False):
-        x, _ = PointNet(self.point_dim, self.feature_dim, self.dtype)(
+        x, _ = PointNet(self.point_dim, self.feature_dim, self.dtype,
+                 self.param_dtype)(
             points, train
         )
         x = jnp.max(x, axis=1)  # global max-pool (:157)
-        x = nn.relu(nn.Dense(512, dtype=self.dtype)(x))
-        x = nn.relu(nn.Dense(256, dtype=self.dtype)(x))
-        x = nn.Dense(self.num_classes, dtype=self.dtype)(x)
+        x = nn.relu(nn.Dense(512, dtype=self.dtype, param_dtype=self.param_dtype)(x))
+        x = nn.relu(nn.Dense(256, dtype=self.dtype, param_dtype=self.param_dtype)(x))
+        x = nn.Dense(self.num_classes, dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if return_logits:
             return x
         return nn.softmax(x, axis=-1)  # :165
@@ -76,14 +79,16 @@ class PointNetSegmentation(nn.Module):
     num_classes: int = 16
     feature_dim: int = 768
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points, train: bool = False, return_logits: bool = False):
         norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
-        x, x_t2 = PointNet(self.point_dim, self.feature_dim, self.dtype)(
+        x, x_t2 = PointNet(self.point_dim, self.feature_dim, self.dtype,
+                 self.param_dtype)(
             points, train
         )
         pooled = jnp.max(x, axis=1, keepdims=True)            # :195
@@ -91,10 +96,10 @@ class PointNetSegmentation(nn.Module):
             pooled, (x.shape[0], x.shape[1], x.shape[2])
         )                                                      # :198
         x = jnp.concatenate([x_t2, pooled], axis=-1)           # :201
-        x = nn.relu(norm()(nn.Dense(512, dtype=self.dtype)(x)))
-        x = nn.relu(norm()(nn.Dense(256, dtype=self.dtype)(x)))
-        x = nn.relu(norm()(nn.Dense(128, dtype=self.dtype)(x)))
-        x = nn.Dense(self.num_classes + 1, dtype=self.dtype)(x)
+        x = nn.relu(norm()(nn.Dense(512, dtype=self.dtype, param_dtype=self.param_dtype)(x)))
+        x = nn.relu(norm()(nn.Dense(256, dtype=self.dtype, param_dtype=self.param_dtype)(x)))
+        x = nn.relu(norm()(nn.Dense(128, dtype=self.dtype, param_dtype=self.param_dtype)(x)))
+        x = nn.Dense(self.num_classes + 1, dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if return_logits:
             return x
         return nn.log_softmax(x, axis=-1)  # :210

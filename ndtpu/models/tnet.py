@@ -17,15 +17,16 @@ from ndtpu.models.norm import BatchNorm
 class TNet(nn.Module):
     in_dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: [B, N, in_dim] -> transform [B, in_dim, in_dim]."""
         norm = lambda: BatchNorm(  # noqa: E731
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=self.dtype, param_dtype=self.param_dtype,
         )
-        dense = lambda f: nn.Dense(f, dtype=self.dtype)  # noqa: E731
+        dense = lambda f: nn.Dense(f, dtype=self.dtype, param_dtype=self.param_dtype)  # noqa: E731
 
         h = nn.relu(norm()(dense(64)(x)))          # pointnet.py:45
         h = nn.relu(norm()(dense(128)(h)))         # pointnet.py:46

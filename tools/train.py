@@ -132,6 +132,7 @@ def main():
         model = NDTNetClassification(
             num_classes=cfg.n_classes, feature_dim=cfg.feature_dim,
             dtype=jnp.dtype(cfg.compute_dtype),
+            param_dtype=jnp.dtype(cfg.param_dtype),
         )
         step_fn, eval_fn = make_classification_step(
             cfg.n_desired_nds, cfg.n_classes, cfg.resolve_use_pallas(),
@@ -141,6 +142,7 @@ def main():
         model = NDTNetSegmentation(
             num_classes=cfg.n_classes, feature_dim=cfg.feature_dim,
             dtype=jnp.dtype(cfg.compute_dtype),
+            param_dtype=jnp.dtype(cfg.param_dtype),
         )
         step_fn, eval_fn = make_ndt_seg_step(
             cfg.n_desired_nds, cfg.n_classes, cfg.resolve_use_pallas(),

@@ -16,7 +16,7 @@ from tools._common import make_dataset
 from tools.train import run_epoch
 from ndtpu.data.loader import batch_iterator, prefetch_to_device
 from ndtpu.models import PointNetSegmentation
-from ndtpu.parallel.mesh import batch_sharding, make_data_mesh, replicate
+from ndtpu.parallel.mesh import batch_sharding, init_distributed, make_data_mesh, replicate
 from ndtpu.train.config import TrainConfig
 from ndtpu.train.loop import make_lr_schedule, make_pointnet_seg_step
 from ndtpu.train.metrics import MetricLogger
@@ -25,6 +25,10 @@ from ndtpu.train.state import create_train_state, restore_checkpoint, save_check
 
 def main():
     cfg = TrainConfig.from_args(n_samples=4160, save_every=10)
+    # multi-host DP: same recipe as tools/train.py (VERDICT r2 missing #4 —
+    # these flags used to be accepted and silently ignored here)
+    init_distributed(cfg.coordinator, cfg.num_processes, cfg.process_id)
+    is_host0 = jax.process_index() == 0
 
     out_dir = os.path.join(
         cfg.out_path, datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -41,6 +45,7 @@ def main():
     model = PointNetSegmentation(
         num_classes=cfg.n_classes, feature_dim=cfg.feature_dim,
         dtype=jnp.dtype(cfg.compute_dtype),
+        param_dtype=jnp.dtype(cfg.param_dtype),
     )
     state = create_train_state(
         model, tx, jax.random.PRNGKey(cfg.seed),
@@ -57,32 +62,38 @@ def main():
 
     logger = MetricLogger(use_wandb=cfg.wandb, project=cfg.wandb_project,
                           config=vars(cfg))
-    for epoch in range(cfg.epochs):
-        loader = prefetch_to_device(
-            batch_iterator(train_set, cfg.batch_size, shuffle=True, seed=epoch),
+
+    def make_loader(dataset, shuffle, seed=0):
+        # every process follows the same global schedule, loads its slice
+        return prefetch_to_device(
+            batch_iterator(
+                dataset, cfg.batch_size, shuffle=shuffle, seed=seed,
+                process_id=jax.process_index(),
+                num_processes=jax.process_count(),
+            ),
             sharding,
         )
+
+    for epoch in range(cfg.epochs):
+        loader = make_loader(train_set, shuffle=True, seed=epoch)
         state, m = run_epoch(step_fn, state, loader, train=True)
         logger.log({f"train_{k}": v for k, v in m.items()}, step=epoch + 1)
 
-        loader = prefetch_to_device(
-            batch_iterator(val_set, cfg.batch_size, shuffle=False), sharding
-        )
+        loader = make_loader(val_set, shuffle=False)
         _, m = run_epoch(eval_fn, state, loader, train=False)
         logger.log({f"val_{k}": v for k, v in m.items()}, step=epoch + 1)
 
-        if (epoch + 1) % cfg.save_every == 0:
+        if (epoch + 1) % cfg.save_every == 0 and is_host0:
             save_checkpoint(
                 state, os.path.join(out_dir, f"pointnet_{cfg.task}_{epoch + 1}")
             )
 
-    loader = prefetch_to_device(
-        batch_iterator(test_set, cfg.batch_size, shuffle=False), sharding
-    )
+    loader = make_loader(test_set, shuffle=False)
     _, m = run_epoch(eval_fn, state, loader, train=False)
     logger.log({f"test_{k}": v for k, v in m.items()})
     logger.finish()
-    print("Done.")
+    if is_host0:
+        print("Done.")
 
 
 if __name__ == "__main__":
