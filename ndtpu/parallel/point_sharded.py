@@ -57,22 +57,34 @@ def _keys_pair(px, py, pz, mask, voxel_size, lens, offsets):
     return zy, jnp.where(mask, x, _INT_MAX)
 
 
-def _distinct_sorted(key, k_max):
-    """Distinct sorted packed keys, padded to k_max with INT32_MAX.
-
-    Input must already be sorted. Returns (tkey [k_max], count)."""
+def _distinct_sorted_cols(cols, k_max):
+    """Distinct-run table of already-sorted key columns (lexicographic,
+    first column primary), each padded to k_max with INT32_MAX. Rows whose
+    first column is INT32_MAX are padding. Returns (cols', count) — the
+    one implementation behind both the packed-key moment table and the
+    (zy, x) pair-key occupancy count."""
     from ndtpu.core.ndt import _segment_starts
 
-    n = key.shape[0]
-    new = jnp.ones((n,), bool)
-    new = new.at[1:].set(key[1:] != key[:-1])
-    new &= key != _INT_MAX
+    n = cols[0].shape[0]
+    neq = jnp.zeros((n - 1,), bool)
+    for c in cols:
+        neq |= c[1:] != c[:-1]
+    new = jnp.ones((n,), bool).at[1:].set(neq)
+    new &= cols[0] != _INT_MAX
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     starts = _segment_starts(new, iota, n, k_max)
     ok = starts < n
     safe = jnp.minimum(starts, n - 1)
-    tkey = jnp.where(ok, key[safe], _INT_MAX)
-    return tkey, jnp.sum(new.astype(jnp.int32))
+    out = tuple(jnp.where(ok, c[safe], _INT_MAX) for c in cols)
+    return out, jnp.sum(new.astype(jnp.int32))
+
+
+def _distinct_sorted(key, k_max):
+    """Distinct sorted packed keys, padded to k_max with INT32_MAX.
+
+    Input must already be sorted. Returns (tkey [k_max], count)."""
+    (tkey,), count = _distinct_sorted_cols((key,), k_max)
+    return tkey, count
 
 
 def _merge_tables(tkey, k_max):
@@ -203,22 +215,11 @@ def sharded_count_occupied(mesh: Mesh, points, mask, voxel_size, lens,
     search objective), clipped to k_max."""
 
     def local(pts, msk):
-        from ndtpu.core.ndt import _segment_starts
-
         zy0, x0 = _keys_pair(
             pts[:, 0], pts[:, 1], pts[:, 2], msk, voxel_size, lens, offsets
         )
         zy, x = jax.lax.sort((zy0, x0), num_keys=2)
-        n = zy.shape[0]
-        new = jnp.ones((n,), bool)
-        new = new.at[1:].set((zy[1:] != zy[:-1]) | (x[1:] != x[:-1]))
-        new &= zy != _INT_MAX
-        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-        starts = _segment_starts(new, iota, n, k_max)
-        ok = starts < n
-        safe = jnp.minimum(starts, n - 1)
-        ltzy = jnp.where(ok, zy[safe], _INT_MAX)
-        ltx = jnp.where(ok, x[safe], _INT_MAX)
+        (ltzy, ltx), _ = _distinct_sorted_cols((zy, x), k_max)
         gathered = jax.lax.all_gather(jnp.stack([ltzy, ltx], axis=0), axis)
         mzy, mx = jax.lax.sort(
             (gathered[:, 0, :].reshape(-1), gathered[:, 1, :].reshape(-1)),

@@ -23,6 +23,44 @@ import optax
 from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
 
 
+def _make_prep(n_desired_nds, n_classes, use_pallas, search, mesh, data_axis):
+    """Preprocessing stage of a step, optionally under shard_map.
+
+    The NDT preprocessing is embarrassingly parallel per cloud, but under
+    plain GSPMD the partitioner hits its replicate fallback on the
+    `top_k` inside `_segment_starts` and inserts a [B, N] batch
+    all-gather plus fully replicated top_k compute (measured via HLO
+    accounting, scripts/collectives.py: 4.5 MB/step at the canonical
+    N=70000). With a mesh, shard_map pins the whole stage to the data
+    axis — zero collectives by construction."""
+
+    def prep(points, gt_onehot):
+        return ndt_preprocessing_with_state(
+            n_desired_nds, points, gt_onehot, n_classes, use_pallas, search
+        )
+
+    if mesh is None:
+        return prep
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def sharded_prep(points, gt_onehot):
+        if gt_onehot is None:
+            return shard_map(
+                lambda p: prep(p, None), mesh=mesh,
+                in_specs=(P(data_axis),), out_specs=P(data_axis),
+                check_vma=False,
+            )(points)
+        return shard_map(
+            prep, mesh=mesh,
+            in_specs=(P(data_axis), P(data_axis)), out_specs=P(data_axis),
+            check_vma=False,
+        )(points, gt_onehot)
+
+    return sharded_prep
+
+
 def make_lr_schedule(base_lr: float, steps_per_epoch: int,
                      decay_epochs: int = 20, decay_rate: float = 0.5):
     """Staircase halving every `decay_epochs` epochs — the intended
@@ -58,18 +96,20 @@ def accuracy(logits_or_probs, onehot, mask=None):
 
 
 def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
-                      use_pallas: bool = False, search: str = "fast"):
+                      use_pallas: bool = False, search: str = "fast",
+                      mesh=None, data_axis: str = "data"):
     """Train step for NDTNetSegmentation: on-device NDT preprocessing fused
     into the step (deletes the host loop of ndtnet_preprocessing.py:27-63).
 
-    batch = (points [B, N, 3], gt_onehot [B, N, C+1]).
+    batch = (points [B, N, 3], gt_onehot [B, N, C+1]). Pass the data
+    Mesh to pin the preprocessing stage with shard_map (see _make_prep).
     """
+    prep = _make_prep(n_desired_nds, n_classes, use_pallas, search,
+                      mesh, data_axis)
 
     @jax.jit
     def step(state, points, gt_onehot):
-        pcl, covs, gt, mask, _ = ndt_preprocessing_with_state(
-            n_desired_nds, points, gt_onehot, n_classes, use_pallas, search
-        )
+        pcl, covs, gt, mask, _ = prep(points, gt_onehot)
 
         def loss_fn(params):
             logits, mutated = state.apply_fn(
@@ -89,9 +129,7 @@ def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
 
     @jax.jit
     def eval_step(state, points, gt_onehot):
-        pcl, covs, gt, mask, _ = ndt_preprocessing_with_state(
-            n_desired_nds, points, gt_onehot, n_classes, use_pallas, search
-        )
+        pcl, covs, gt, mask, _ = prep(points, gt_onehot)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             pcl, covs, train=False, return_logits=True,
@@ -141,19 +179,21 @@ def make_pointnet_seg_step():
 
 
 def make_multiscale_seg_step(fine_res: int, coarse_res: int, n_classes: int,
-                             use_pallas: bool = False, search: str = "fast"):
+                             use_pallas: bool = False, search: str = "fast",
+                             mesh=None, data_axis: str = "data"):
     """Train step for NDTNetPPSegmentation (the working version of the
     broken reference trainer, tools/train_multiscale.py — SURVEY.md §2.4):
     fine + coarse NDT preprocessing on device, fine state threaded into the
     model for its mid-forward prune, loss on the fine-resolution GT."""
 
+    prep_fine = _make_prep(fine_res, n_classes, use_pallas, search,
+                           mesh, data_axis)
+    prep_coarse = _make_prep(coarse_res, n_classes, use_pallas, search,
+                             mesh, data_axis)
+
     def _prep(points, gt_onehot):
-        p1, c1, gt1, m1, state1 = ndt_preprocessing_with_state(
-            fine_res, points, gt_onehot, n_classes, use_pallas, search
-        )
-        p2, c2, _, _, _ = ndt_preprocessing_with_state(
-            coarse_res, points, gt_onehot, n_classes, use_pallas, search
-        )
+        p1, c1, gt1, m1, state1 = prep_fine(points, gt_onehot)
+        p2, c2, _, _, _ = prep_coarse(points, gt_onehot)
         return p1, c1, gt1, m1, state1, p2, c2
 
     @jax.jit
@@ -192,15 +232,16 @@ def make_multiscale_seg_step(fine_res: int, coarse_res: int, n_classes: int,
 
 
 def make_classification_step(n_desired_nds: int, n_classes: int,
-                             use_pallas: bool = False, search: str = "fast"):
+                             use_pallas: bool = False, search: str = "fast",
+                             mesh=None, data_axis: str = "data"):
     """Train step for NDTNetClassification: batch = (points [B, N, 3],
     label_onehot [B, num_classes])."""
+    prep = _make_prep(n_desired_nds, n_classes, use_pallas, search,
+                      mesh, data_axis)
 
     @jax.jit
     def step(state, points, label_onehot):
-        pcl, covs, _, mask, _ = ndt_preprocessing_with_state(
-            n_desired_nds, points, None, n_classes, use_pallas, search
-        )
+        pcl, covs, _, mask, _ = prep(points, None)
 
         def loss_fn(params):
             logits, mutated = state.apply_fn(
@@ -220,9 +261,7 @@ def make_classification_step(n_desired_nds: int, n_classes: int,
 
     @jax.jit
     def eval_step(state, points, label_onehot):
-        pcl, covs, _, mask, _ = ndt_preprocessing_with_state(
-            n_desired_nds, points, None, n_classes, use_pallas, search
-        )
+        pcl, covs, _, mask, _ = prep(points, None)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             pcl, covs, train=False, return_logits=True,

@@ -83,6 +83,18 @@ def test_batch_sharded_train_step():
         float(m_sh["accuracy"]), float(m_ref["accuracy"]), rtol=1e-5
     )
 
+    # the production configuration: preprocessing pinned with shard_map
+    # (zero preprocessing collectives — tests/test_collectives.py); the
+    # numbers must match the GSPMD and unsharded steps
+    step_sm, _ = make_ndt_seg_step(M, C, mesh=mesh)
+    _, m_sm = step_sm(state_sh, pts_sh, gt_sh)
+    np.testing.assert_allclose(
+        float(m_sm["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_sm["accuracy"]), float(m_ref["accuracy"]), rtol=1e-5
+    )
+
 
 def test_point_sharded_moments_exact():
     """psum of per-shard partial moments == single-device moments."""

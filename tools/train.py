@@ -122,6 +122,7 @@ def main():
         val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path, seed=1)
         test_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.test_path, seed=2)
 
+    mesh = make_data_mesh(cfg.batch_size, cfg.data_axis)
     steps_per_epoch = max(1, len(train_set) // cfg.batch_size)
     sched = make_lr_schedule(
         cfg.learning_rate, steps_per_epoch, cfg.lr_decay_epochs, cfg.lr_decay_rate
@@ -136,7 +137,7 @@ def main():
         )
         step_fn, eval_fn = make_classification_step(
             cfg.n_desired_nds, cfg.n_classes, cfg.resolve_use_pallas(),
-            cfg.search,
+            cfg.search, mesh, cfg.data_axis,
         )
     else:
         model = NDTNetSegmentation(
@@ -146,7 +147,7 @@ def main():
         )
         step_fn, eval_fn = make_ndt_seg_step(
             cfg.n_desired_nds, cfg.n_classes, cfg.resolve_use_pallas(),
-            cfg.search,
+            cfg.search, mesh, cfg.data_axis,
         )
 
     state = create_train_state(
@@ -159,7 +160,6 @@ def main():
         state = restore_checkpoint(state, cfg.resume)
         print(f"resumed from {cfg.resume} at step {int(state.step)}")
 
-    mesh = make_data_mesh(cfg.batch_size, cfg.data_axis)
     state = replicate(mesh, state)
     sharding = batch_sharding(mesh, cfg.data_axis)
 

@@ -54,8 +54,10 @@ def main():
         feature_dim=cfg.feature_dim, dtype=jnp.dtype(cfg.compute_dtype),
         param_dtype=jnp.dtype(cfg.param_dtype),
     )
+    mesh = make_data_mesh(cfg.batch_size, cfg.data_axis)
     step_fn, eval_fn = make_multiscale_seg_step(
-        fine, coarse, cfg.n_classes, cfg.resolve_use_pallas(), cfg.search
+        fine, coarse, cfg.n_classes, cfg.resolve_use_pallas(), cfg.search,
+        mesh, cfg.data_axis,
     )
 
     # template init needs an NDT-state pytree of the right shapes only —
@@ -74,7 +76,6 @@ def main():
     if cfg.resume:
         state = restore_checkpoint(state, cfg.resume)
 
-    mesh = make_data_mesh(cfg.batch_size, cfg.data_axis)
     state = replicate(mesh, state)
     sharding = batch_sharding(mesh, cfg.data_axis)
 
