@@ -69,6 +69,72 @@ def test_golden_variants():
         [1.6927257776260376, -5.283073902130127, -5.906319618225098])
 
 
+def test_golden_pair_key_mode():
+    """Pin for key_mode="pair" (VERDICT r2 item 10): previously covered
+    only by equality tests, so drift in the pair-key sort path could hide
+    behind matching drift elsewhere. On this cloud the (zy, x) pair keys
+    and the packed key agree exactly (same grid, same acceptance)."""
+    pts = jnp.asarray(
+        clustered_cloud(2000, n_clusters=32, extent=8.0, scale=0.3, seed=42)
+    )
+    pcl, covs, labels, mask, state = ndt_downsample(pts, 20, key_mode="pair")
+    assert float(state.voxel_size) == np.float32(5.629374980926514)
+    assert int(state.num_valid) == 23
+    assert bool(state.converged)
+    assert int(mask.sum()) == 20
+    np.testing.assert_allclose(
+        float(np.asarray(pcl).sum()), 13.160667419433594, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(covs).sum()), 44.63232421875, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(pcl)[0],
+        [1.1183464527130127, -4.586442470550537, -6.656826496124268],
+        rtol=1e-6,
+    )
+
+
+def test_golden_point_sharded():
+    """Pin for the point-sharded giant-cloud pipeline on the 8-device mesh
+    (VERDICT r2 item 10): catches silent drift in the sharded path without
+    needing a mesh-equality run. Values match test_golden_downsample up to
+    f32 psum reduction noise (the moments are associative — SURVEY.md §5)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ndtpu.parallel.mesh import make_mesh
+    from ndtpu.parallel.point_sharded import make_point_sharded_downsample
+
+    pts = clustered_cloud(2000, n_clusters=32, extent=8.0, scale=0.3, seed=42)
+    mesh = make_mesh(("points",))
+    fn = make_point_sharded_downsample(mesh, 20)
+    sh = NamedSharding(mesh, P("points"))
+    p = jax.device_put(jnp.asarray(pts), sh)
+    m = jax.device_put(jnp.ones((2000,), bool), sh)
+    c = jax.device_put(jnp.zeros((2000,), jnp.int32), sh)
+    pcl, covs, labels, omask, state = fn(p, m, c)
+
+    assert float(state.voxel_size) == np.float32(5.629374980926514)
+    assert int(state.num_valid) == 23
+    assert bool(state.converged)
+    assert int(omask.sum()) == 20
+    np.testing.assert_allclose(
+        float(np.asarray(pcl).sum()), 13.160667419433594, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(covs).sum()), 44.63232421875, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pcl)[0],
+        [1.1183464527130127, -4.586442470550537, -6.656826496124268],
+        rtol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.counts)[:8], [137, 158, 126, 63, 21, 63, 109, 91]
+    )
+
+
 def test_golden_ndtnetpp_forward():
     """Numeric pin for NDT-Net++ (VERDICT r1 item 5): full-model torch
     parity is impossible (the reference forward is unrunnable, SURVEY.md
