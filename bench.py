@@ -99,6 +99,33 @@ def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas,
     return pipeline, pipeline_scalar, pipeline_repeat, variables
 
 
+def measure_rtt(iters=7):
+    """Median host->device->host round trip for a trivial jitted scalar op.
+
+    On this image's tunneled backend every dispatch+readback costs ~25 ms;
+    an on-device scan of `inner` iterations still pays it ONCE per call,
+    so the naive per-iteration time carries a floor of RTT/inner. r2's
+    numbers (inner=8 -> ~3.1 ms floor; --components inner=4 -> ~6.3 ms)
+    were biased by exactly this — most visibly the "model 6.32 ms" figure,
+    which was almost entirely RTT floor. r3 measures the RTT explicitly
+    and subtracts it (see BASELINE.md r3 notes)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.float32(0.0)
+    float(f(x))  # compile
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    rtt = sorted(ts)[len(ts) // 2]
+    print(f"[bench] host round trip: {rtt*1000:.2f} ms (median of {iters})",
+          file=sys.stderr)
+    return rtt
+
+
 def timed_throughput(fn_scalar, variables, batch_arr, iters, warmup=2):
     for _ in range(warmup):
         float(fn_scalar(variables, batch_arr))
@@ -122,7 +149,11 @@ def bench_components(args):
     batch = jnp.asarray(make_batch(args.batch_size, args.n_samples))
     M, C = args.n_desired_nds, args.n_classes
 
-    def scan_time(fn, *inputs, inner=4, iters=3):
+    rtt = measure_rtt()
+
+    def scan_time(fn, *inputs, inner=None, iters=3):
+        inner = args.inner if inner is None else inner
+
         @jax.jit
         def repeat(*a):
             def body(carry, _):
@@ -136,7 +167,9 @@ def bench_components(args):
         t0 = time.perf_counter()
         for _ in range(iters):
             float(repeat(*inputs))
-        return (time.perf_counter() - t0) / iters / inner
+        return max(
+            (time.perf_counter() - t0) / iters / inner - rtt / inner, 1e-9
+        )
 
     def search_only(pts):
         def one(p):
@@ -243,11 +276,13 @@ def bench_train(args):
     new_state, metrics = step_fn(state, points, gt)
     loss0 = float(metrics["loss"])
 
+    rtt = measure_rtt()
     float(repeat(state, points, gt, args.inner))
     t0 = time.perf_counter()
     for _ in range(args.iters):
         float(repeat(state, points, gt, args.inner))
-    t_step = (time.perf_counter() - t0) / args.iters / args.inner
+    t_raw = (time.perf_counter() - t0) / args.iters / args.inner
+    t_step = max(t_raw - rtt / args.inner, 1e-9)
     tput = B / t_step
     print(
         f"[bench] train step (preprocess+fwd+CE+bwd+Adam): "
@@ -261,6 +296,8 @@ def bench_train(args):
         "value": round(tput, 3),
         "unit": "clouds/s/chip",
         "step_ms": round(t_step * 1000, 2),
+        "raw_step_ms": round(t_raw * 1000, 2),
+        "rtt_ms": round(rtt * 1000, 2),
         "vs_baseline": None,
     }))
 
@@ -311,11 +348,15 @@ def bench_multiscale(args):
         total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
         return total
 
+    rtt = measure_rtt()
     float(repeat(variables, batch, args.inner))
     t0 = time.perf_counter()
     for _ in range(args.iters):
         float(repeat(variables, batch, args.inner))
-    dt = (time.perf_counter() - t0) / args.iters / args.inner
+    dt = max(
+        (time.perf_counter() - t0) / args.iters / args.inner
+        - rtt / args.inner, 1e-9,
+    )
     tput = B / dt
     print(
         f"[bench] multiscale per-batch: {dt*1000:.2f} ms on-device; "
@@ -368,11 +409,15 @@ def bench_giant(args):
         total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
         return total
 
+    rtt = measure_rtt()
     float(repeat(pts_d, args.inner))
     t0 = time.perf_counter()
     for _ in range(args.iters):
         float(repeat(pts_d, args.inner))
-    dt = (time.perf_counter() - t0) / args.iters / args.inner
+    dt = max(
+        (time.perf_counter() - t0) / args.iters / args.inner
+        - rtt / args.inner, 1e-9,
+    )
 
     # prune-Hz protocol (viz.py:119-129): second-stage prune to m//2
     _, _, _, _, state = jax.jit(fn)(pts_d, mask, classes)
@@ -395,7 +440,10 @@ def bench_giant(args):
     t0 = time.perf_counter()
     for _ in range(args.iters):
         float(prune_repeat(state, args.inner))
-    dt_prune = (time.perf_counter() - t0) / args.iters / args.inner
+    dt_prune = max(
+        (time.perf_counter() - t0) / args.iters / args.inner
+        - rtt / args.inner, 1e-9,
+    )
 
     print(
         f"[bench] giant cloud: {n_pts} pts -> {m} NDs in {dt*1000:.2f} ms "
@@ -432,6 +480,8 @@ def bench_roofline(args):
     B, N, M, C = (args.batch_size, args.n_samples, args.n_desired_nds,
                   args.n_classes)
 
+    rtt = measure_rtt()
+
     def scan_time(fn, *inputs, inner=8, iters=3):
         @jax.jit
         def repeat(*a):
@@ -447,7 +497,9 @@ def bench_roofline(args):
         t0 = time.perf_counter()
         for _ in range(iters):
             float(repeat(*inputs))
-        return (time.perf_counter() - t0) / iters / inner
+        return max(
+            (time.perf_counter() - t0) / iters / inner - rtt / inner, 1e-9
+        )
 
     # (a) achievable HBM bandwidth over 2^28 f32 (1 GiB). The scan's
     # anti-CSE perturbation (x + carry*1e-20) is itself a read+write pass,
@@ -548,7 +600,7 @@ def main():
     p.add_argument("--n_classes", type=int, default=28)
     p.add_argument("--feature_dim", type=int, default=768)
     p.add_argument("--iters", type=int, default=4)
-    p.add_argument("--inner", type=int, default=8)
+    p.add_argument("--inner", type=int, default=32)
     p.add_argument("--cpu_iters", type=int, default=1)
     p.add_argument("--use_pallas", action="store_true", default=None,
                    help="force the Pallas segment-sum kernel (default: auto "
@@ -655,16 +707,20 @@ def main():
         float(pipeline_scalar(variables, batch_dev, sizes))
     t_call = (time.perf_counter() - t0) / args.iters
 
-    # on-device repeated path (amortizes RTT out)
+    # on-device repeated path (amortizes RTT out), minus the measured
+    # per-call round trip (see measure_rtt)
+    rtt = measure_rtt()
     t0 = time.perf_counter()
     for _ in range(args.iters):
         float(pipeline_repeat(variables, batch_dev, args.inner, sizes))
-    t_inner = (time.perf_counter() - t0) / args.iters / args.inner
+    t_raw = (time.perf_counter() - t0) / args.iters / args.inner
+    t_inner = max(t_raw - rtt / args.inner, 1e-9)
 
     tput = args.batch_size / t_inner
     print(
         f"[bench] per-batch: {t_inner*1000:.2f} ms on-device "
-        f"({t_call*1000:.2f} ms incl. host RTT); "
+        f"({t_raw*1000:.2f} ms raw incl. RTT/inner floor, "
+        f"{t_call*1000:.2f} ms single-call incl. full RTT); "
         f"device throughput: {tput:.2f} clouds/s (batch {args.batch_size})",
         file=sys.stderr,
     )
@@ -693,6 +749,9 @@ def main():
         "metric": "ndt_preprocess_forward_throughput",
         "value": round(tput, 3),
         "unit": "clouds/s/chip",
+        "per_batch_ms": round(t_inner * 1000, 2),
+        "raw_per_batch_ms": round(t_raw * 1000, 2),
+        "rtt_ms": round(rtt * 1000, 2),
         "vs_baseline": round(vs_baseline, 3) if np.isfinite(vs_baseline) else None,
     }))
 

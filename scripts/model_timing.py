@@ -47,7 +47,7 @@ def main():
     p.add_argument("--n_classes", type=int, default=28)
     p.add_argument("--feature_dim", type=int, default=768)
     p.add_argument("--dtype", type=str, default="f32", choices=["f32", "bf16"])
-    p.add_argument("--inner", type=int, default=8)
+    p.add_argument("--inner", type=int, default=64)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--stages", type=str,
                    default="tnet3,tnet64,backbone,head,full")
@@ -68,6 +68,10 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     rng = np.random.default_rng(0)
 
+    from bench import measure_rtt
+
+    rtt = measure_rtt()
+
     def scan_time(fn, *inputs):
         @jax.jit
         def repeat(*a):
@@ -84,7 +88,10 @@ def main():
         t0 = time.perf_counter()
         for _ in range(args.iters):
             float(repeat(*inputs))
-        return (time.perf_counter() - t0) / args.iters / args.inner
+        return max(
+            (time.perf_counter() - t0) / args.iters / args.inner
+            - rtt / args.inner, 1e-9,
+        )
 
     class DenseBNStack(nn.Module):
         """Dense+BN chain (optionally +ReLU), the backbone/head building

@@ -30,7 +30,7 @@ def main():
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--n_classes", type=int, default=28)
     p.add_argument("--use_pallas", action="store_true")
-    p.add_argument("--inner", type=int, default=4)
+    p.add_argument("--inner", type=int, default=16)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--stages", type=str, default="sort,moments,kl,emit",
                    help="comma-separated subset of "
@@ -54,6 +54,10 @@ def main():
     k_max = nd.max_segments(M)
     pts = jnp.asarray(make_batch(args.batch_size, args.n_samples))
 
+    from bench import measure_rtt
+
+    rtt = measure_rtt()
+
     def scan_time(fn, *inputs):
         @jax.jit
         def repeat(*a):
@@ -70,7 +74,10 @@ def main():
         t0 = time.perf_counter()
         for _ in range(args.iters):
             float(repeat(*inputs))
-        return (time.perf_counter() - t0) / args.iters / args.inner
+        return max(
+            (time.perf_counter() - t0) / args.iters / args.inner
+            - rtt / args.inner, 1e-9,
+        )
 
     def prefix(stage):
         def one(p):
