@@ -264,7 +264,11 @@ def bench_train(args):
     def repeat(state, points, gt, inner: int):
         def body(carry, _):
             st, tot = carry
-            st, metrics = step_fn(st, points, gt)
+            # thread the running loss into the points: the preprocessing
+            # must NOT be loop-invariant, or XLA hoists the whole NDT
+            # stage out of the scan and the "train step" times only the
+            # model fwd/bwd (observed: 11.6 -> 2.7 ms/step apparent)
+            st, metrics = step_fn(st, points + tot * 1e-20, gt)
             return (st, tot + metrics["loss"]), None
 
         (st, tot), _ = jax.lax.scan(

@@ -277,6 +277,12 @@ def main():
     ap.add_argument("--eval_every", type=int, default=0,
                     help="also record test accuracy every K epochs (eval is "
                          "side-effect-free; training math is unchanged)")
+    ap.add_argument("--perturb_init", type=float, default=0.0,
+                    help="add N(0, scale) noise to the ndtpu copy of the "
+                         "transplanted init (basin-sensitivity control: a "
+                         "microscopic perturbation changing the outcome "
+                         "proves chaotic basin selection, not framework "
+                         "bias)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -301,6 +307,17 @@ def main():
     t_model, variables = make_torch_models(
         args.task, n_classes, args.feature_dim, args.seed
     )
+    if args.perturb_init:
+        import jax
+
+        leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+        keys = jax.random.split(jax.random.PRNGKey(999), len(leaves))
+        leaves = [
+            l + args.perturb_init * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)
+        ]
+        variables = dict(variables,
+                         params=jax.tree_util.tree_unflatten(treedef, leaves))
     rng = np.random.default_rng(args.seed + 13)
     perms = [rng.permutation(args.train_size) for _ in range(args.epochs)]
 
