@@ -82,7 +82,7 @@ def segment_moments(points, centers, seg_ids, num_segments, valid=None,
 
 
 def segment_moments_soa(xt, yt, zt, v, seg_ids, num_segments, classes=None,
-                        num_class_slots=0, use_pallas=False):
+                        num_class_slots=0, use_pallas=False, tags=None):
     """Structure-of-arrays variant of `segment_moments` for the NDT hot path.
 
     TPU lays narrow 2-D arrays out 128-lanes wide, so an [N, 42] feature
@@ -93,8 +93,17 @@ def segment_moments_soa(xt, yt, zt, v, seg_ids, num_segments, classes=None,
     kernel (never materializing them in HBM). The XLA fallback materializes
     the same columns and matches `segment_moments` bit for bit.
 
+    tags: optional tuple of [N] f32 vectors, each nonzero on AT MOST ONE
+    row per segment (e.g. a per-segment constant masked to the segment's
+    first row). They ride the same contraction as extra columns, so each
+    segment's output is that single row's value EXACTLY (one f32
+    contribution, no accumulation error) — this is how the pipeline
+    extracts per-segment voxel coordinates without a top_k/compaction pass
+    over N. Returned as "tag_sums" [K, len(tags)].
+
     Returns the same dict contract as `segment_moments`.
     """
+    n_tags = len(tags) if tags else 0
     if use_pallas:
         from ndtpu.ops.pallas.segment_moments import fused_moments_sorted
 
@@ -103,6 +112,7 @@ def segment_moments_soa(xt, yt, zt, v, seg_ids, num_segments, classes=None,
             xt, yt, zt, v, cls.astype(jnp.int32), seg_ids,
             num_segments + 1,
             num_class_slots if classes is not None else 0,
+            tags=tags,
         )
     else:
         cols = [
@@ -115,6 +125,8 @@ def segment_moments_soa(xt, yt, zt, v, seg_ids, num_segments, classes=None,
             cols += [
                 v * (classes == c) for c in range(num_class_slots)
             ]
+        if tags:
+            cols += list(tags)
         feats = jnp.stack(cols, axis=1)
         acc = jax.ops.segment_sum(
             feats, seg_ids, num_segments=num_segments + 1,
@@ -127,8 +139,11 @@ def segment_moments_soa(xt, yt, zt, v, seg_ids, num_segments, classes=None,
         "sum_shift": acc[:, 1:4],
         "sum_outer": acc[:, 4:13].reshape(num_segments, 3, 3),
     }
+    slots = num_class_slots if classes is not None else 0
     if classes is not None:
-        out["class_hist"] = jnp.round(acc[:, 13:]).astype(jnp.int32)
+        out["class_hist"] = jnp.round(acc[:, 13:13 + slots]).astype(jnp.int32)
+    if tags:
+        out["tag_sums"] = acc[:, 13 + slots:13 + slots + n_tags]
     return out
 
 

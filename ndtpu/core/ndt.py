@@ -681,7 +681,6 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
     """
     n = px.shape[0]
     lens, offsets = vx.estimate_voxel_grid(mins, maxs, voxel_size)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     # with a single class slot (untagged clouds) the class column is
     # statically all-zero: its histogram equals the counts, so neither the
     # sort payload nor the scatter needs to carry it
@@ -736,26 +735,29 @@ def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
     yt = jnp.where(valid_s, pys - center(y, 1), 0.0)
     zt = jnp.where(valid_s, pzs - center(z, 2), 0.0)
 
+    # per-segment voxel coords ride the moment reduction as sparse "tag"
+    # columns masked to each segment's FIRST row (new_seg): exactly one row
+    # contributes per segment, so the "sum" is the segment-constant
+    # coordinate itself, bit-exact in f32 (needs |coord| < 2^24 per axis;
+    # the packable-grid envelope is far inside that). This replaces the
+    # previous top_k-over-N segment-starts compaction — one fewer O(N log)
+    # pass per cloud (the gather z[safe] it fed is gone too).
+    tag_z = jnp.where(new_seg, z, 0).astype(jnp.float32)
+    tag_y = jnp.where(new_seg, y, 0).astype(jnp.float32)
+    tag_x = jnp.where(new_seg, x, 0).astype(jnp.float32)
     mom = segment_moments_soa(
         xt, yt, zt, v, seg, k_max,
         classes=cls, num_class_slots=num_class_slots if tagged else 0,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, tags=(tag_z, tag_y, tag_x),
     )
     if not tagged:
         mom["class_hist"] = mom["counts"][:, None]
-    # per-segment voxel key: segments are contiguous after the sort, so the
-    # key lives at each segment's first row — a k_max-sized gather instead
-    # of an N-sized scatter-max (TPU scatters serialize)
-    starts = _segment_starts(new_seg, iota, n, k_max)
-    in_range = starts < n
-    safe = jnp.minimum(starts, n - 1)
+    occupied = mom["counts"] > 0
     seg_zyx = jnp.where(
-        in_range[:, None],
-        jnp.stack([z[safe], y[safe], x[safe]], axis=1),
+        occupied[:, None],
+        jnp.round(mom["tag_sums"]).astype(jnp.int32),
         _INT_MAX,
     )
-    occupied = mom["counts"] > 0
-    seg_zyx = jnp.where(occupied[:, None], seg_zyx, _INT_MAX)
 
     seg_centers = vx.voxel_to_metric_space(
         jnp.where(occupied[:, None], seg_zyx[:, ::-1], 0), voxel_size, offsets

@@ -178,11 +178,16 @@ def _make_fn(num_segments: int, block_n: int):
     return f
 
 
-def _moments_kernel(seg_ref, xt_ref, yt_ref, zt_ref, v_ref, cls_ref, out_ref,
-                    *, block_n, rows, slots, bf16x3):
-    """Fused NDT-moment accumulation: builds the 13(+slots)-row feature
-    matrix in VMEM from compact 1-D inputs, then contracts it with the
-    block one-hot on the MXU. Never materializes [N, F] in HBM."""
+def _moments_kernel(seg_ref, xt_ref, yt_ref, zt_ref, v_ref, cls_ref,
+                    *tag_and_out_refs, block_n, rows, slots, n_tags, bf16x3):
+    """Fused NDT-moment accumulation: builds the 13(+slots)(+tags)-row
+    feature matrix in VMEM from compact 1-D inputs, then contracts it with
+    the block one-hot on the MXU. Never materializes [N, F] in HBM.
+
+    Tag rows (see moments.segment_moments_soa) are sparse per-segment
+    constants — at most one nonzero row per segment — so their contraction
+    result is a single exact f32 value, not an accumulated sum."""
+    *tag_refs, out_ref = tag_and_out_refs
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -210,6 +215,8 @@ def _moments_kernel(seg_ref, xt_ref, yt_ref, zt_ref, v_ref, cls_ref, out_ref,
     row_list = [v, xt, yt, zt, xx, xy, xz, xy, yy, yz, xz, yz, zz]
     for c in range(slots):
         row_list.append(v * (cls == c).astype(jnp.float32))
+    for tr in tag_refs:
+        row_list.append(tr[0, 0, :])
     feats = jnp.stack(row_list, axis=0)  # [F, block_n] f32, VMEM only
 
     if bf16x3:
@@ -234,12 +241,13 @@ def _moments_kernel(seg_ref, xt_ref, yt_ref, zt_ref, v_ref, cls_ref, out_ref,
     out_ref[pl.ds(start, window), :] += contrib
 
 
-def _call_moments_kernel(seg, xt, yt, zt, v, cls, rows: int, block_n: int,
-                         slots: int):
-    """All inputs flat [M] (M % block_n == 0) -> [rows, 13 + slots]."""
+def _call_moments_kernel(seg, xt, yt, zt, v, cls, tags, rows: int,
+                         block_n: int, slots: int):
+    """All inputs flat [M] (M % block_n == 0) -> [rows, 13 + slots + tags]."""
     m = seg.shape[0]
     grid = (m // block_n,)
-    f = 13 + slots
+    n_tags = len(tags)
+    f = 13 + slots + n_tags
 
     def spec():
         return pl.BlockSpec((1, 1, block_n), lambda i: (i, 0, 0))
@@ -250,16 +258,17 @@ def _call_moments_kernel(seg, xt, yt, zt, v, cls, rows: int, block_n: int,
     return pl.pallas_call(
         functools.partial(
             _moments_kernel, block_n=block_n, rows=rows, slots=slots,
-            bf16x3=_bf16x3_enabled(),
+            n_tags=n_tags, bf16x3=_bf16x3_enabled(),
         ),
         grid=grid,
-        in_specs=[spec() for _ in range(6)],
+        in_specs=[spec() for _ in range(6 + n_tags)],
         out_specs=pl.BlockSpec((rows, f), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, f), jnp.float32),
         interpret=not is_tpu(),
     )(
         rs(seg), rs(xt.astype(jnp.float32)), rs(yt.astype(jnp.float32)),
         rs(zt.astype(jnp.float32)), rs(v.astype(jnp.float32)), rs(cls),
+        *[rs(t.astype(jnp.float32)) for t in tags],
     )
 
 
@@ -274,27 +283,30 @@ def _pad1(a, block_n, value=0):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_moments_fn(num_segments: int, slots: int, block_n: int):
+def _make_moments_fn(num_segments: int, slots: int, block_n: int,
+                     n_tags: int):
     rows = _round_up(max(num_segments, block_n + _SUBLANE), _SUBLANE)
+    f_out = 13 + slots + n_tags
 
     @jax.custom_batching.custom_vmap
-    def f(xt, yt, zt, v, cls, seg_ids):
+    def f(xt, yt, zt, v, cls, seg_ids, *tags):
         seg_p = _pad1(seg_ids, block_n, value=_BIG)
         args = [_pad1(a, block_n) for a in (xt, yt, zt, v)]
         cls_p = _pad1(cls, block_n)
+        tags_p = [_pad1(t, block_n) for t in tags]
         out = _call_moments_kernel(
-            seg_p, *args, cls_p, rows, block_n, slots
+            seg_p, *args, cls_p, tags_p, rows, block_n, slots
         )
         return out[:num_segments]
 
     @f.def_vmap
-    def rule(axis_size, in_batched, xt, yt, zt, v, cls, seg_ids):
+    def rule(axis_size, in_batched, xt, yt, zt, v, cls, seg_ids, *tags):
         b = axis_size
-        ops = [xt, yt, zt, v, cls, seg_ids]
+        ops = [xt, yt, zt, v, cls, seg_ids, *tags]
         for i, (op, batched) in enumerate(zip(ops, in_batched)):
             if not batched:
                 ops[i] = jnp.broadcast_to(op, (b,) + op.shape)
-        xt, yt, zt, v, cls, seg_ids = ops
+        xt, yt, zt, v, cls, seg_ids, *tags = ops
         seg_p = _pad1(seg_ids, block_n, value=_BIG)
         n_p = seg_p.shape[1]
         offs = (jnp.arange(b, dtype=jnp.int32) * rows)[:, None]
@@ -304,32 +316,40 @@ def _make_moments_fn(num_segments: int, slots: int, block_n: int):
         flat = [
             _pad1(a, block_n).reshape(b * n_p) for a in (xt, yt, zt, v, cls)
         ]
+        tags_flat = [_pad1(t, block_n).reshape(b * n_p) for t in tags]
         out = _call_moments_kernel(
-            seg_flat, *flat, b * rows, block_n, slots
+            seg_flat, *flat, tags_flat, b * rows, block_n, slots
         )
-        out = out.reshape(b, rows, 13 + slots)[:, :num_segments]
+        out = out.reshape(b, rows, f_out)[:, :num_segments]
         return out, True
 
     return f
 
 
 def fused_moments_sorted(xt, yt, zt, v, cls, seg_ids, num_segments: int,
-                         slots: int, block_n: int | None = None):
+                         slots: int, block_n: int | None = None, tags=None):
     """NDT Gaussian-moment accumulation from compact 1-D inputs.
 
     xt/yt/zt: [..., N] f32 voxel-center-shifted coordinates, pre-masked
     (invalid rows zero). v: [..., N] f32 validity. cls: [..., N] i32 class
     tags. seg_ids: [..., N] i32 dense sorted ranks (ids >= num_segments
-    dropped). Returns [..., num_segments, 13 + slots] f32 accumulator rows
-    [count, Σx̃, Σx̃x̃ᵀ(9), class histogram(slots)]."""
+    dropped). tags: optional tuple of [..., N] f32 sparse per-segment
+    constants (at most one nonzero row per segment — extracted exactly, see
+    moments.segment_moments_soa). Returns
+    [..., num_segments, 13 + slots + len(tags)] f32 accumulator rows
+    [count, Σx̃, Σx̃x̃ᵀ(9), class histogram(slots), tag values]."""
     if block_n is None:
         import os
 
         block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "512"))
     n = seg_ids.shape[-1]
     block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
-    fn = _make_moments_fn(int(num_segments), int(slots), int(block_n))
-    return fn(xt, yt, zt, v, cls.astype(jnp.int32), seg_ids.astype(jnp.int32))
+    tags = tuple(tags) if tags else ()
+    fn = _make_moments_fn(
+        int(num_segments), int(slots), int(block_n), len(tags)
+    )
+    return fn(xt, yt, zt, v, cls.astype(jnp.int32),
+              seg_ids.astype(jnp.int32), *tags)
 
 
 def segment_sum_sorted(feats, seg_ids, num_segments: int,

@@ -26,13 +26,15 @@ from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
 def _make_prep(n_desired_nds, n_classes, use_pallas, search, mesh, data_axis):
     """Preprocessing stage of a step, optionally under shard_map.
 
-    The NDT preprocessing is embarrassingly parallel per cloud, but under
-    plain GSPMD the partitioner hits its replicate fallback on the
-    `top_k` inside `_segment_starts` and inserts a [B, N] batch
-    all-gather plus fully replicated top_k compute (measured via HLO
-    accounting, scripts/collectives.py: 4.5 MB/step at the canonical
-    N=70000). With a mesh, shard_map pins the whole stage to the data
-    axis — zero collectives by construction."""
+    The NDT preprocessing is embarrassingly parallel per cloud; shard_map
+    pins the whole stage to the data axis — zero collectives by
+    construction. Historically load-bearing: until r3 plain GSPMD hit a
+    partitioner replicate fallback on the `top_k` inside
+    `_segment_starts` ([B, N] batch all-gather + replicated compute,
+    4.5 MB/step at N=70000, measured via scripts/collectives.py). That
+    top_k is gone (tag columns in the moment reduction) and the plain
+    path is now clean too (tests/test_collectives.py); the pinning stays
+    as defense in depth against partitioner regressions."""
 
     def prep(points, gt_onehot):
         return ndt_preprocessing_with_state(

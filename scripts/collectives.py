@@ -47,9 +47,11 @@ def dp_train_step_collectives(batch=16, n=4096, m=1000, n_classes=28,
                               feature_dim=768, search="fast",
                               shard_map_prep=True):
     """shard_map_prep=True is the production configuration (the trainers
-    pass their mesh into make_ndt_seg_step); False shows the plain-GSPMD
-    alternative, where the partitioner's replicate fallback on top_k adds
-    a [B, N] batch all-gather + replicated compute."""
+    pass their mesh into make_ndt_seg_step); False is the plain-GSPMD
+    alternative. Until r3 the plain path paid a partitioner replicate
+    fallback on top_k ([B, N] batch all-gather + replicated compute);
+    with the top_k replaced by tag columns in the moment reduction both
+    paths now compile to the same all-reduce-only collective set."""
     model = NDTNetSegmentation(num_classes=n_classes, feature_dim=feature_dim)
     tx = optax.adam(1e-3)
     state = create_train_state(
@@ -116,7 +118,7 @@ def main():
         print(json.dumps({
             "program": "dp_train_step",
             "prep": "shard_map (production)" if shard_map_prep else
-                    "plain GSPMD (top_k replicate fallback)",
+                    "plain GSPMD",
             "devices": d,
             "param_bytes": pb,
             "collectives": {k: {"count": v["count"], "bytes": v["bytes"]}

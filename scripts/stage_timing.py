@@ -94,7 +94,6 @@ def main():
             _, lens, offsets = nd._voxel_keys(
                 px, py, pz, mask, vs, mins, maxs
             )
-            iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
             # production sort structure: stable key + payload, no
             # tie-break column (ndt._sort_payload_at)
             key, pxs, pys, pzs, cls = nd._sort_payload_at(
@@ -124,23 +123,24 @@ def main():
             xt = jnp.where(valid_s, pxs - center(x, 0), 0.0)
             yt = jnp.where(valid_s, pys - center(y, 1), 0.0)
             zt = jnp.where(valid_s, pzs - center(z, 2), 0.0)
+            # per-segment voxel coords as sparse tag columns (mirrors
+            # ndt._build_state — replaced the top_k starts compaction)
+            tag_z = jnp.where(new_seg, z, 0).astype(jnp.float32)
+            tag_y = jnp.where(new_seg, y, 0).astype(jnp.float32)
+            tag_x = jnp.where(new_seg, x, 0).astype(jnp.float32)
             mom = segment_moments_soa(
                 xt, yt, zt, v, seg, k_max,
                 classes=cls, num_class_slots=C, use_pallas=args.use_pallas,
+                tags=(tag_z, tag_y, tag_x),
             )
             if stage == "segsum":
                 return jnp.sum(mom["sum_outer"]) + jnp.sum(mom["sum_shift"])
-            masked_iota = jnp.where(new_seg, iota, n)
-            starts = -jax.lax.top_k(-masked_iota, k_max)[0]
-            in_range = starts < n
-            safe = jnp.minimum(starts, n - 1)
+            occupied = mom["counts"] > 0
             seg_zyx = jnp.where(
-                in_range[:, None],
-                jnp.stack([z[safe], y[safe], x[safe]], axis=1),
+                occupied[:, None],
+                jnp.round(mom["tag_sums"]).astype(jnp.int32),
                 nd._INT_MAX,
             )
-            occupied = mom["counts"] > 0
-            seg_zyx = jnp.where(occupied[:, None], seg_zyx, nd._INT_MAX)
             seg_centers = vx.voxel_to_metric_space(
                 jnp.where(occupied[:, None], seg_zyx[:, ::-1], 0), vs, offsets
             )
