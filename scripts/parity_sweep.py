@@ -41,9 +41,13 @@ def run_seed(task, seed, outdir, eval_every):
     if os.path.exists(out):
         print(f"[sweep] {task} seed {seed}: exists, skipping", flush=True)
         return out
+    # pid-unique tmp so concurrent sweep instances (disjoint --seeds, or a
+    # collision on the same seed — harmless: runs are deterministic) never
+    # interleave writes to one file
+    tmp = f"{out}.tmp{os.getpid()}"
     cmd = [sys.executable, os.path.join(REPO, "tools", "parity_train.py"),
            *PROTOCOL[task], "--n_desired_nds", "1000", "--seed", str(seed),
-           "--eval_every", str(eval_every), "--out", out + ".tmp"]
+           "--eval_every", str(eval_every), "--out", tmp]
     t0 = time.time()
     print(f"[sweep] {task} seed {seed}: running ...", flush=True)
     env = dict(os.environ, NDTPU_PLATFORM="cpu")
@@ -52,7 +56,7 @@ def run_seed(task, seed, outdir, eval_every):
         print(r.stdout[-2000:], file=sys.stderr)
         print(r.stderr[-4000:], file=sys.stderr)
         raise RuntimeError(f"{task} seed {seed} failed")
-    os.rename(out + ".tmp", out)
+    os.rename(tmp, out)
     with open(out) as f:
         d = json.load(f)
     print(f"[sweep] {task} seed {seed}: ndtpu {d['ndtpu']['test_accuracy']:.4f} "
@@ -95,6 +99,12 @@ def aggregate(task, outdir, dest):
     wins = sum(d > 0 for d in diffs)
     losses = sum(d < 0 for d in diffs)
     p = sign_test_p(wins, losses)
+    t_stat = mean_d / (sd_d / math.sqrt(n)) if sd_d > 0 else 0.0
+    try:
+        from scipy import stats as _st
+        t_p = float(2.0 * _st.t.sf(abs(t_stat), n - 1))
+    except ImportError:
+        t_p = math.erfc(abs(t_stat) / math.sqrt(2.0))  # normal approx
     result = {
         "task": task,
         "protocol": "tools/parity_train.py "
@@ -107,6 +117,7 @@ def aggregate(task, outdir, dest):
         "paired_diff": {"mean": mean_d, "stderr": sd_d / math.sqrt(n)},
         "sign_test": {"ndtpu_wins": wins, "torch_wins": losses,
                       "two_sided_p": p},
+        "paired_t_test": {"t": t_stat, "two_sided_p": t_p},
     }
     with open(dest, "w") as f:
         json.dump(result, f, indent=1)
@@ -123,17 +134,38 @@ def main():
     ap.add_argument("--seeds", default="0,1,2,3,4,5,6,7,8,9")
     ap.add_argument("--outdir", default=os.path.join(REPO, "parity_runs"))
     ap.add_argument("--eval_every", type=int, default=5)
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="run this many (task, seed) subprocesses "
+                         "concurrently (each is single-threaded; results "
+                         "are per-seed deterministic either way)")
     ap.add_argument("--aggregate_only", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
     tasks = args.tasks.split(",")
     seeds = [int(s) for s in args.seeds.split(",")]
     if not args.aggregate_only:
-        for task in tasks:
-            for seed in seeds:
+        work = [(task, seed) for task in tasks for seed in seeds]
+        if args.jobs <= 1:
+            for task, seed in work:
                 run_seed(task, seed, args.outdir, args.eval_every)
                 aggregate(task, args.outdir,
                           os.path.join(REPO, f"PARITY_{'CLS' if task.startswith('c') else 'SEG'}.json"))
+        else:
+            import concurrent.futures as cf
+            import threading
+
+            agg_lock = threading.Lock()
+
+            def one(ts):
+                task, seed = ts
+                run_seed(task, seed, args.outdir, args.eval_every)
+                with agg_lock:
+                    aggregate(task, args.outdir,
+                              os.path.join(REPO, f"PARITY_{'CLS' if task.startswith('c') else 'SEG'}.json"))
+
+            with cf.ThreadPoolExecutor(max_workers=args.jobs) as ex:
+                for _ in ex.map(one, work):
+                    pass
     for task in tasks:
         aggregate(task, args.outdir,
                   os.path.join(REPO, f"PARITY_{'CLS' if task.startswith('c') else 'SEG'}.json"))

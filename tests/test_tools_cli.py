@@ -212,6 +212,9 @@ def test_parity_train_cli(tmp_path):
         "tools/parity_train.py", "--epochs", "1", "--train_size", "8",
         "--test_size", "8", "--n_samples", "512", "--n_desired_nds", "64",
         "--feature_dim", "32", "--batch_size", "4", "--out", str(out),
+        # also exercises the basin-sensitivity control path (the torch-side
+        # reverse control; the ndtpu side is the production control runs)
+        "--perturb_init", "1e-6", "--perturb_side", "torch",
     ], timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     import json

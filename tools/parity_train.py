@@ -278,11 +278,17 @@ def main():
                     help="also record test accuracy every K epochs (eval is "
                          "side-effect-free; training math is unchanged)")
     ap.add_argument("--perturb_init", type=float, default=0.0,
-                    help="add N(0, scale) noise to the ndtpu copy of the "
+                    help="add N(0, scale) noise to one side's copy of the "
                          "transplanted init (basin-sensitivity control: a "
                          "microscopic perturbation changing the outcome "
                          "proves chaotic basin selection, not framework "
                          "bias)")
+    ap.add_argument("--perturb_side", default="ndtpu",
+                    choices=["ndtpu", "torch"],
+                    help="which framework's weights receive the "
+                         "--perturb_init noise (perturbing torch is the "
+                         "reverse control: does the reference also leave "
+                         "its basin under a microscopic nudge?)")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -307,7 +313,7 @@ def main():
     t_model, variables = make_torch_models(
         args.task, n_classes, args.feature_dim, args.seed
     )
-    if args.perturb_init:
+    if args.perturb_init and args.perturb_side == "ndtpu":
         import jax
 
         leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
@@ -318,6 +324,13 @@ def main():
         ]
         variables = dict(variables,
                          params=jax.tree_util.tree_unflatten(treedef, leaves))
+    elif args.perturb_init and args.perturb_side == "torch":
+        import torch
+
+        torch.manual_seed(999)
+        with torch.no_grad():
+            for p in t_model.parameters():
+                p.add_(args.perturb_init * torch.randn_like(p))
     rng = np.random.default_rng(args.seed + 13)
     perms = [rng.permutation(args.train_size) for _ in range(args.epochs)]
 
