@@ -57,39 +57,79 @@ def _keys_pair(px, py, pz, mask, voxel_size, lens, offsets):
     return zy, jnp.where(mask, x, _INT_MAX)
 
 
-def _distinct_sorted_cols(cols, k_max):
+def _split12(c, new):
+    """12-bit hi/lo split of a non-negative int32 column, masked to
+    segment-start rows: every chunk is < 2^19 (hi) / 2^12 (lo), far inside
+    f32's 2^24 exact-integer range, and each segment receives exactly ONE
+    contribution — so a segment reduction returns the value bit-exactly."""
+    hi = jnp.where(new, c >> 12, 0).astype(jnp.float32)
+    lo = jnp.where(new, c & 0xFFF, 0).astype(jnp.float32)
+    return hi, lo
+
+
+def _join12(hi, lo):
+    return (jnp.round(hi).astype(jnp.int32) << 12) | jnp.round(lo).astype(
+        jnp.int32
+    )
+
+
+def _distinct_sorted_cols(cols, k_max, use_pallas=False):
     """Distinct-run table of already-sorted key columns (lexicographic,
     first column primary), each padded to k_max with INT32_MAX. Rows whose
     first column is INT32_MAX are padding. Returns (cols', count) — the
     one implementation behind both the packed-key moment table and the
-    (zy, x) pair-key occupancy count."""
-    from ndtpu.core.ndt import _segment_starts
+    (zy, x) pair-key occupancy count.
 
+    Extraction is a segment reduction over sparse 12-bit-split tag columns
+    (see _split12) instead of a top_k-over-N compaction — same trick as
+    core ndt._build_state, one O(N) kernel pass instead of O(N log k)."""
     n = cols[0].shape[0]
     neq = jnp.zeros((n - 1,), bool)
     for c in cols:
         neq |= c[1:] != c[:-1]
     new = jnp.ones((n,), bool).at[1:].set(neq)
-    new &= cols[0] != _INT_MAX
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    starts = _segment_starts(new, iota, n, k_max)
-    ok = starts < n
-    safe = jnp.minimum(starts, n - 1)
-    out = tuple(jnp.where(ok, c[safe], _INT_MAX) for c in cols)
-    return out, jnp.sum(new.astype(jnp.int32))
+    valid = cols[0] != _INT_MAX
+    new &= valid
+    count = jnp.sum(new.astype(jnp.int32))
+    seg = jnp.cumsum(new.astype(jnp.int32)) - 1
+    seg = jnp.where(valid & (seg >= 0) & (seg < k_max), seg, k_max)
+    tags = []
+    for c in cols:
+        tags += _split12(c, new)
+    if use_pallas:
+        from ndtpu.ops.pallas.segment_moments import fused_moments_sorted
+
+        z = jnp.zeros((n,), jnp.float32)
+        acc = fused_moments_sorted(
+            z, z, z, z, jnp.zeros((n,), jnp.int32), seg, k_max + 1, 0,
+            tags=tuple(tags),
+        )[:k_max, 13:]
+    else:
+        feats = jnp.stack(tags, axis=1)
+        acc = jax.ops.segment_sum(
+            feats, seg, num_segments=k_max + 1, indices_are_sorted=True
+        )[:k_max]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (k_max, 1), 0)[:, 0]
+    ok = idx < jnp.minimum(count, k_max)
+    out = tuple(
+        jnp.where(ok, _join12(acc[:, 2 * i], acc[:, 2 * i + 1]), _INT_MAX)
+        for i in range(len(cols))
+    )
+    return out, count
 
 
-def _distinct_sorted(key, k_max):
+def _distinct_sorted(key, k_max, use_pallas=False):
     """Distinct sorted packed keys, padded to k_max with INT32_MAX.
 
     Input must already be sorted. Returns (tkey [k_max], count)."""
-    (tkey,), count = _distinct_sorted_cols((key,), k_max)
+    (tkey,), count = _distinct_sorted_cols((key,), k_max, use_pallas)
     return tkey, count
 
 
 def _merge_tables(tkey, k_max):
     """Merge gathered per-shard tables [D, k_max] into one sorted distinct
-    table. Returns (tkey [k_max], count)."""
+    table. Returns (tkey [k_max], count). (D*k_max rows — small; the XLA
+    segment-sum path is fine at this size.)"""
     return _distinct_sorted(jax.lax.sort(tkey.reshape(-1)), k_max)
 
 
@@ -139,10 +179,6 @@ def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
         )
         valid_s = key != _INT_MAX
 
-        ltkey, _ = _distinct_sorted(key, k_max)
-        gathered = jax.lax.all_gather(ltkey, axis)  # [D, k_max]
-        tkey, num_valid = _merge_tables(gathered, k_max)
-
         # local dense ranks from sorted-run boundaries
         new = jnp.ones((n,), bool)
         new = new.at[1:].set(key[1:] != key[:-1])
@@ -164,11 +200,22 @@ def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
         yt = jnp.where(valid_s, pys - center(vy, 1), 0.0)
         zt = jnp.where(valid_s, pzs - center(vz, 2), 0.0)
 
+        # the local distinct-key table rides the moment reduction as two
+        # sparse 12-bit-split tag columns (one exact contribution per
+        # segment) — no separate top_k/compaction pass over N
+        thi, tlo = _split12(key, new)
         lmom = segment_moments_soa(
             xt, yt, zt, v, lseg, k_max,
             classes=cls_s, num_class_slots=num_class_slots,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, tags=(thi, tlo),
         )
+        ltkey = jnp.where(
+            lmom["counts"] > 0,
+            _join12(lmom["tag_sums"][:, 0], lmom["tag_sums"][:, 1]),
+            _INT_MAX,
+        )
+        gathered = jax.lax.all_gather(ltkey, axis)  # [D, k_max]
+        tkey, num_valid = _merge_tables(gathered, k_max)
         lacc = jnp.concatenate(
             [
                 lmom["counts"].astype(jnp.float32)[:, None],
@@ -210,7 +257,8 @@ def sharded_segment_moments(mesh: Mesh, points, mask, voxel_size, lens,
 
 
 def sharded_count_occupied(mesh: Mesh, points, mask, voxel_size, lens,
-                           offsets, k_max: int, axis: str = "points"):
+                           offsets, k_max: int, axis: str = "points",
+                           use_pallas: bool = False):
     """Global occupied-voxel count of a point-sharded cloud (the binary
     search objective), clipped to k_max."""
 
@@ -219,7 +267,7 @@ def sharded_count_occupied(mesh: Mesh, points, mask, voxel_size, lens,
             pts[:, 0], pts[:, 1], pts[:, 2], msk, voxel_size, lens, offsets
         )
         zy, x = jax.lax.sort((zy0, x0), num_keys=2)
-        (ltzy, ltx), _ = _distinct_sorted_cols((zy, x), k_max)
+        (ltzy, ltx), _ = _distinct_sorted_cols((zy, x), k_max, use_pallas)
         gathered = jax.lax.all_gather(jnp.stack([ltzy, ltx], axis=0), axis)
         mzy, mx = jax.lax.sort(
             (gathered[:, 0, :].reshape(-1), gathered[:, 1, :].reshape(-1)),
@@ -279,7 +327,8 @@ def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
             done, guess, lo, hi, it, best_g, best_c = c
             lens, offsets = vx.estimate_voxel_grid(mins, maxs, guess)
             count = sharded_count_occupied(
-                mesh, points, mask, guess, lens, offsets, k_max, axis
+                mesh, points, mask, guess, lens, offsets, k_max, axis,
+                use_pallas,
             )
             too_many = count.astype(jnp.float32) > upper
             too_few = count < n_desired
