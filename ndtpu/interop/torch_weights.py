@@ -19,7 +19,13 @@ from __future__ import annotations
 
 
 def _t2np(t):
-    return t.detach().cpu().numpy()
+    # copy() matters: torch .numpy() shares storage, and on the CPU
+    # backend jnp.asarray can adopt a numpy buffer without copying — the
+    # mapped flax params would then alias the live torch parameters, and
+    # training/perturbing the torch model in place would silently mutate
+    # the "transplanted" jax weights (observed in the parity harness's
+    # perturbation controls).
+    return t.detach().cpu().numpy().copy()
 
 
 def conv_kernel(conv):
