@@ -36,6 +36,12 @@ def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
     where consecutive frames share statistics, feed back
     ``state.voxel_size`` from an earlier batch.
 
+    ``classes_onehot`` also accepts integer class tags [B, N] directly
+    (the production input path: an int32 label batch is C+1 times smaller
+    than the reference's one-hot [B, N, C+1] contract — ~4.5 MB vs
+    ~130 MB at the canonical shape — and argmax(one_hot(l)) == l makes
+    the two bit-equivalent; tested in tests/test_golden.py).
+
     Note: when ``classes_onehot`` is None the returned state's
     ``class_hist`` is the untagged [B, K, 1] counts column regardless of
     ``num_classes`` (see NDTResult) — only the returned one-hot is
@@ -44,7 +50,10 @@ def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
     slots = num_classes + 1
 
     if classes_onehot is not None:
-        tags = jnp.argmax(classes_onehot, axis=-1).astype(jnp.int32)
+        if classes_onehot.ndim == points.ndim - 1:  # int tags [B, N]
+            tags = classes_onehot.astype(jnp.int32)
+        else:
+            tags = jnp.argmax(classes_onehot, axis=-1).astype(jnp.int32)
         ds_slots = slots
     else:
         # untagged clouds: the single-slot specialization skips the class

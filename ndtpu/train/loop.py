@@ -103,8 +103,11 @@ def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
     """Train step for NDTNetSegmentation: on-device NDT preprocessing fused
     into the step (deletes the host loop of ndtnet_preprocessing.py:27-63).
 
-    batch = (points [B, N, 3], gt_onehot [B, N, C+1]). Pass the data
-    Mesh to pin the preprocessing stage with shard_map (see _make_prep).
+    batch = (points [B, N, 3], gt_onehot [B, N, C+1]) — or int class tags
+    [B, N] in place of the one-hot (the production input path: C+1 times
+    less host->device traffic, bit-equivalent results; see
+    preprocessing.batch). Pass the data Mesh to pin the preprocessing
+    stage with shard_map (see _make_prep).
     """
     prep = _make_prep(n_desired_nds, n_classes, use_pallas, search,
                       mesh, data_axis)

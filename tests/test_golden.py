@@ -4,6 +4,7 @@ Guards optimization rounds against silent semantic drift. If an
 *intentional* semantic change lands (e.g. altered tie-breaking), regenerate
 with the snippet in the module docstring of this file's git history.
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -186,3 +187,29 @@ def test_golden_ndtnetpp_forward():
         [-1239.8121337890625, -648.0266723632812, -215.77313232421875,
          -1296.079833984375], rtol=1e-4,
     )
+
+
+def test_int_tag_input_path_matches_onehot():
+    """The production input path — integer class tags [B, N] instead of the
+    reference's one-hot [B, N, C+1] (C+1x less host->device traffic) — is
+    bit-equivalent: argmax(one_hot(l)) == l."""
+    import jax.numpy as jnp
+
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+    B, N, C, M = 2, 512, 4, 24
+    clouds = jnp.asarray(np.stack([
+        clustered_cloud(N, n_clusters=12, extent=5.0, scale=0.3, seed=7 + i)
+        for i in range(B)
+    ]))
+    labels = jnp.asarray(
+        (np.arange(B * N).reshape(B, N) * 2654435761 % (C + 1)).astype(
+            np.int32
+        )
+    )
+    onehot = jax.nn.one_hot(labels, C + 1, dtype=jnp.float32)
+
+    a = ndt_preprocessing_with_state(M, clouds, onehot, C)
+    b = ndt_preprocessing_with_state(M, clouds, labels, C)
+    for xa, xb in zip(a[:4], b[:4]):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
