@@ -147,12 +147,22 @@ def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
     return step, eval_step
 
 
-def make_pointnet_seg_step():
+def make_pointnet_seg_step(n_classes: int | None = None):
     """Train step for PointNetSegmentation (train_pointnet.py:82-182):
-    batch = (points [B, N, 3], gt_onehot [B, N, C+1]), no NDT anywhere."""
+    batch = (points [B, N, 3], gt_onehot [B, N, C+1]), no NDT anywhere.
+    With ``n_classes`` given, int class tags [B, N] are also accepted and
+    one-hot-encoded on device (the production input path — C+1x less
+    host->device traffic)."""
+
+    def _gt(gt):
+        if n_classes is not None and gt.ndim == 2:  # int tags [B, N]
+            return jax.nn.one_hot(gt, n_classes + 1, dtype=jnp.float32)
+        return gt
 
     @jax.jit
     def step(state, points, gt_onehot):
+        gt_onehot = _gt(gt_onehot)
+
         def loss_fn(params):
             logits, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -171,6 +181,7 @@ def make_pointnet_seg_step():
 
     @jax.jit
     def eval_step(state, points, gt_onehot):
+        gt_onehot = _gt(gt_onehot)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             points, train=False, return_logits=True,
