@@ -45,6 +45,11 @@ class TrainConfig:
     # acceptance band, tests/test_ndt.py) or "reference" (the C core's
     # <=15-sort bisection, ndt.c:136-187) or "grid"
     search: str = "fast"
+    # feed segmentation GT as [B, N] int32 class tags instead of the
+    # reference's one-hot [B, N, C+1] (C+1x less host->device traffic;
+    # bit-equivalent — argmax(one_hot(l)) == l, tests/test_golden.py).
+    # --no-int_labels restores the literal reference contract.
+    int_labels: bool = True
     data_axis: str = "data"
     seed: int = 0
     steps_per_epoch: Optional[int] = None  # derived from dataset when None

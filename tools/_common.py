@@ -12,15 +12,38 @@ if os.environ.get("NDTPU_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["NDTPU_PLATFORM"])
 
 
-def make_dataset(n_classes, n_samples, path, synthetic_length=32, seed=0):
+class IntLabels:
+    """Adapter: (points, gt_onehot [N, C+1]) -> (points, tags [N] i32).
+
+    The production GT input path: int tags are C+1 times smaller through
+    stacking and the host->device pipe, and the train steps accept them
+    directly (argmax(one_hot(l)) == l — bit-equivalent, tests/test_golden
+    .py). `--no-int_labels` restores the literal reference contract."""
+
+    def __init__(self, ds):
+        self.ds = ds
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        pts, gt = self.ds[i]
+        return pts, np.argmax(gt, axis=-1).astype(np.int32)
+
+
+def make_dataset(n_classes, n_samples, path, synthetic_length=32, seed=0,
+                 int_labels=False):
     """CarlaSeg when a path is given, SyntheticSeg otherwise (the reference
     assumes CARLA data on disk; the synthetic fallback keeps every tool
     runnable out of the box)."""
     from ndtpu.data import CarlaSeg, SyntheticSeg
 
-    if path:
-        return CarlaSeg(n_classes, n_samples, path)
-    return SyntheticSeg(n_classes, n_samples, length=synthetic_length, seed=seed)
+    ds = (CarlaSeg(n_classes, n_samples, path) if path else
+          SyntheticSeg(n_classes, n_samples, length=synthetic_length,
+                       seed=seed))
+    return IntLabels(ds) if int_labels else ds
 
 
 # 29-class palette from the reference (tools/seg_viz.py:17-46)

@@ -118,9 +118,12 @@ def main():
         val_set = make_cls_dataset(cfg, "val", 1)
         test_set = make_cls_dataset(cfg, "test", 2)
     else:
-        train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path, seed=0)
-        val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path, seed=1)
-        test_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.test_path, seed=2)
+        train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path,
+                                 seed=0, int_labels=cfg.int_labels)
+        val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path,
+                               seed=1, int_labels=cfg.int_labels)
+        test_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.test_path,
+                                seed=2, int_labels=cfg.int_labels)
 
     mesh = make_data_mesh(cfg.batch_size, cfg.data_axis)
     steps_per_epoch = max(1, len(train_set) // cfg.batch_size)

@@ -41,8 +41,10 @@ def main():
     out_dir = os.path.join(
         cfg.out_path, datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     )
-    train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path, seed=0)
-    val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path, seed=1)
+    train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path,
+                             seed=0, int_labels=cfg.int_labels)
+    val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path,
+                           seed=1, int_labels=cfg.int_labels)
 
     steps_per_epoch = max(1, len(train_set) // cfg.batch_size)
     tx = optax.adam(

@@ -33,9 +33,12 @@ def main():
     out_dir = os.path.join(
         cfg.out_path, datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     )
-    train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path, seed=0)
-    val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path, seed=1)
-    test_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.test_path, seed=2)
+    train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path,
+                             seed=0, int_labels=cfg.int_labels)
+    val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path,
+                           seed=1, int_labels=cfg.int_labels)
+    test_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.test_path,
+                            seed=2, int_labels=cfg.int_labels)
 
     steps_per_epoch = max(1, len(train_set) // cfg.batch_size)
     tx = optax.adam(
@@ -58,7 +61,7 @@ def main():
     mesh = make_data_mesh(cfg.batch_size, cfg.data_axis)
     state = replicate(mesh, state)
     sharding = batch_sharding(mesh, cfg.data_axis)
-    step_fn, eval_fn = make_pointnet_seg_step()
+    step_fn, eval_fn = make_pointnet_seg_step(cfg.n_classes)
 
     logger = MetricLogger(use_wandb=cfg.wandb, project=cfg.wandb_project,
                           config=vars(cfg))
