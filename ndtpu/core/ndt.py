@@ -643,22 +643,6 @@ def _search_and_sort_fast(px, py, pz, mask, classes, n_desired, mins, maxs,
     return guess, accepted, cols
 
 
-def _segment_starts(new_seg, iota, n, k_max):
-    """Row indices of the first k_max segment starts, ascending; >= n marks
-    "no such segment". Boundary positions come from sorting masked iotas
-    (jnp.nonzero(size=) would lower to an N-sized scatter, which TPU
-    serializes): rows where new_seg holds keep their ascending position,
-    others sink to n, so the k_max smallest are exactly the starts.
-    top_k is O(N log k) vs a full O(N log^2 N) sort pass. Shared by the
-    single-device build and the point-sharded pipeline."""
-    masked_iota = jnp.where(new_seg, iota, n)
-    if k_max > n:  # static shapes: pad so top_k below is always full
-        masked_iota = jnp.concatenate(
-            [masked_iota, jnp.full((k_max - n,), n, jnp.int32)]
-        )
-    return -jax.lax.top_k(-masked_iota, k_max)[0]
-
-
 def _build_state(px, py, pz, mask, classes, num_class_slots, voxel_size,
                  converged, mins, maxs, k_max, use_pallas=False,
                  key_mode="packed", presorted=None):

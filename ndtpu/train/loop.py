@@ -29,8 +29,8 @@ def _make_prep(n_desired_nds, n_classes, use_pallas, search, mesh, data_axis):
     The NDT preprocessing is embarrassingly parallel per cloud; shard_map
     pins the whole stage to the data axis — zero collectives by
     construction. Historically load-bearing: until r3 plain GSPMD hit a
-    partitioner replicate fallback on the `top_k` inside
-    `_segment_starts` ([B, N] batch all-gather + replicated compute,
+    partitioner replicate fallback on the segment-starts `top_k` then in
+    `_build_state` ([B, N] batch all-gather + replicated compute,
     4.5 MB/step at N=70000, measured via scripts/collectives.py). That
     top_k is gone (tag columns in the moment reduction) and the plain
     path is now clean too (tests/test_collectives.py); the pinning stays

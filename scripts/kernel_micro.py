@@ -25,7 +25,7 @@ def main():
                             "sort7"],
                    help="'none' times only the input perturbation loop; "
                         "sortN times an N-operand lax.sort over [B, N]")
-    p.add_argument("--inner", type=int, default=4)
+    p.add_argument("--inner", type=int, default=32)
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args()
 
@@ -90,15 +90,21 @@ def main():
         )
         return total
 
+    from bench import measure_rtt
+
+    rtt = measure_rtt()
     float(repeat(feats_d, seg_d))
     t0 = time.perf_counter()
     for _ in range(args.iters):
         float(repeat(feats_d, seg_d))
-    dt = (time.perf_counter() - t0) / args.iters / args.inner
+    raw = (time.perf_counter() - t0) / args.iters / args.inner
+    dt = max(raw - rtt / args.inner, 1e-9)  # subtract the per-call RTT floor
     print(json.dumps({
         "metric": "kernel_micro_ms", "mode": args.mode,
         "block": os.environ.get("NDTPU_PALLAS_BLOCK", "default"),
         "ms_per_batch": round(dt * 1000, 2),
+        "raw_ms_per_batch": round(raw * 1000, 2),
+        "rtt_ms": round(rtt * 1000, 2),
     }))
 
 

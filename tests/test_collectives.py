@@ -74,8 +74,8 @@ def test_dp_train_step_collectives_production():
 
 def test_dp_train_step_gspmd_no_fallback():
     """Plain GSPMD (no mesh passed): r2 measured a [B, N] batch all-gather
-    here — the partitioner's replicate fallback on the `top_k` inside
-    `_segment_starts`. In r3 that top_k was replaced by sparse tag columns
+    here — the partitioner's replicate fallback on the segment-starts
+    `top_k`. In r3 that top_k was replaced by sparse tag columns
     riding the moment reduction (ndt._build_state), and the fallback
     disappeared with it: the unpinned step compiles to the same
     all-reduce-only collective set as the shard_map production path. The
