@@ -1,4 +1,12 @@
-"""Interop with the torch reference implementation: weight migration."""
+"""Interop with the torch reference implementation: weight migration in
+both directions (torch checkpoint -> flax, trained flax -> torch)."""
+from ndtpu.interop.export_torch import (  # noqa: F401
+    export_ndtnet_classification,
+    export_ndtnet_segmentation,
+    export_pointnet_classification,
+    export_pointnet_segmentation,
+    export_residual_connection,
+)
 from ndtpu.interop.torch_weights import (  # noqa: F401
     map_backbone,
     map_ndtnet_classification,

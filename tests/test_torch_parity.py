@@ -224,3 +224,55 @@ def test_batchnorm_running_stats_match_torch():
         jnp.asarray(xe),
     )
     np.testing.assert_allclose(np.asarray(j_out), t_out, atol=1e-5)
+
+
+def test_export_roundtrip_ndtnet_segmentation():
+    """Reverse migration (flax -> torch, ndtpu.interop.export_torch): load
+    mapped variables into a DIFFERENTLY-initialized torch instance and the
+    two torch models agree exactly — users can torch.save trained ndtpu
+    weights for reference deployments."""
+    from ndtpu.interop import export_ndtnet_segmentation
+
+    ref = load_reference_module("ndtnet", REF)
+    torch.manual_seed(5)
+    t_src = ref.NDTNetSegmentation(
+        point_dim=3, num_classes=5, feature_dim=64
+    ).eval()
+    variables = map_ndtnet_segmentation(t_src)
+
+    torch.manual_seed(99)  # deliberately different init
+    t_dst = ref.NDTNetSegmentation(
+        point_dim=3, num_classes=5, feature_dim=64
+    ).eval()
+    export_ndtnet_segmentation(variables, t_dst)
+
+    rng = np.random.default_rng(5)
+    pts = torch.tensor(rng.normal(size=(2, 33, 3)).astype(np.float32))
+    covs = torch.tensor(
+        rng.normal(size=(2, 33, 9)).astype(np.float32) * 0.1
+    )
+    with torch.no_grad():
+        np.testing.assert_array_equal(
+            t2np(t_src(pts, covs)), t2np(t_dst(pts, covs))
+        )
+
+
+def test_export_roundtrip_pointnet_classification():
+    from ndtpu.interop import export_pointnet_classification
+
+    ref = load_reference_module("pointnet", REF)
+    torch.manual_seed(6)
+    t_src = ref.PointNetClassification(
+        point_dim=3, num_classes=4, feature_dim=64
+    ).eval()
+    variables = map_pointnet_classification(t_src)
+    torch.manual_seed(77)
+    t_dst = ref.PointNetClassification(
+        point_dim=3, num_classes=4, feature_dim=64
+    ).eval()
+    export_pointnet_classification(variables, t_dst)
+    pts = torch.tensor(
+        np.random.default_rng(6).normal(size=(2, 29, 3)).astype(np.float32)
+    )
+    with torch.no_grad():
+        np.testing.assert_array_equal(t2np(t_src(pts)), t2np(t_dst(pts)))
