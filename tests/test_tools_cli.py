@@ -28,6 +28,20 @@ def test_train_cli(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Done." in r.stdout
 
+    # chain the reverse-migration CLI off the checkpoint just written
+    ckpts = list(tmp_path.glob("*/ndtnet_segmentation_*"))
+    assert ckpts, list(tmp_path.rglob("*"))
+    out = tmp_path / "exported.pt"
+    r = run_tool([
+        "tools/export.py", "--checkpoint", str(ckpts[0]),
+        "--task", "segmentation", "--n_classes", "6",
+        "--feature_dim", "32", "--n_desired_nds", "24",
+        "--out", str(out),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists()
+    assert (tmp_path / "exported_backbone.pt").exists()
+
 
 @pytest.mark.slow
 def test_viz_cli(tmp_path):
