@@ -50,6 +50,11 @@ class TrainConfig:
     # bit-equivalent — argmax(one_hot(l)) == l, tests/test_golden.py).
     # --no-int_labels restores the literal reference contract.
     int_labels: bool = True
+    # streaming regime (segmentation): search each sample's voxel size
+    # ONCE up front, then train/eval with fixed sizes — one voxelization
+    # per cloud per step instead of the full search (the production
+    # frame-stream configuration; bench.py --streaming measures it)
+    streaming: bool = False
     data_axis: str = "data"
     seed: int = 0
     steps_per_epoch: Optional[int] = None  # derived from dataset when None

@@ -36,9 +36,10 @@ def _make_prep(n_desired_nds, n_classes, use_pallas, search, mesh, data_axis):
     path is now clean too (tests/test_collectives.py); the pinning stays
     as defense in depth against partitioner regressions."""
 
-    def prep(points, gt_onehot):
+    def prep(points, gt_onehot, voxel_sizes=None):
         return ndt_preprocessing_with_state(
-            n_desired_nds, points, gt_onehot, n_classes, use_pallas, search
+            n_desired_nds, points, gt_onehot, n_classes, use_pallas, search,
+            fixed_voxel_sizes=voxel_sizes,
         )
 
     if mesh is None:
@@ -47,18 +48,25 @@ def _make_prep(n_desired_nds, n_classes, use_pallas, search, mesh, data_axis):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def sharded_prep(points, gt_onehot):
-        if gt_onehot is None:
-            return shard_map(
-                lambda p: prep(p, None), mesh=mesh,
-                in_specs=(P(data_axis),), out_specs=P(data_axis),
-                check_vma=False,
-            )(points)
+    def sharded_prep(points, gt_onehot, voxel_sizes=None):
+        args, specs = (points,), [P(data_axis)]
+        if gt_onehot is not None:
+            args += (gt_onehot,)
+            specs.append(P(data_axis))
+        if voxel_sizes is not None:
+            args += (voxel_sizes,)
+            specs.append(P(data_axis))
+
+        def inner(*a):
+            it = iter(a[1:])
+            gt = next(it) if gt_onehot is not None else None
+            vs = next(it) if voxel_sizes is not None else None
+            return prep(a[0], gt, vs)
+
         return shard_map(
-            prep, mesh=mesh,
-            in_specs=(P(data_axis), P(data_axis)), out_specs=P(data_axis),
-            check_vma=False,
-        )(points, gt_onehot)
+            inner, mesh=mesh, in_specs=tuple(specs),
+            out_specs=P(data_axis), check_vma=False,
+        )(*args)
 
     return sharded_prep
 
@@ -108,13 +116,20 @@ def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
     less host->device traffic, bit-equivalent results; see
     preprocessing.batch). Pass the data Mesh to pin the preprocessing
     stage with shard_map (see _make_prep).
+
+    Streaming regime: both steps optionally take a trailing [B] f32 of
+    per-cloud voxel sizes and then skip the voxel-size search entirely
+    (one voxelization per cloud — the production frame-stream regime;
+    sizes come from one searched pass, see tools/train.py --streaming).
+    With sizes produced by the search at identical points, results are
+    bit-identical (tested in tests/test_train.py).
     """
     prep = _make_prep(n_desired_nds, n_classes, use_pallas, search,
                       mesh, data_axis)
 
     @jax.jit
-    def step(state, points, gt_onehot):
-        pcl, covs, gt, mask, _ = prep(points, gt_onehot)
+    def step(state, points, gt_onehot, *voxel_sizes):
+        pcl, covs, gt, mask, _ = prep(points, gt_onehot, *voxel_sizes)
 
         def loss_fn(params):
             logits, mutated = state.apply_fn(
@@ -133,8 +148,8 @@ def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
         return new_state, {"loss": loss, "accuracy": acc}
 
     @jax.jit
-    def eval_step(state, points, gt_onehot):
-        pcl, covs, gt, mask, _ = prep(points, gt_onehot)
+    def eval_step(state, points, gt_onehot, *voxel_sizes):
+        pcl, covs, gt, mask, _ = prep(points, gt_onehot, *voxel_sizes)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             pcl, covs, train=False, return_logits=True,

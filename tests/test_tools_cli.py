@@ -236,3 +236,18 @@ def test_parity_train_cli(tmp_path):
     result = json.loads(out.read_text())
     assert "ndtpu" in result and "torch_reference" in result
     assert 0.0 <= result["ndtpu"]["test_accuracy"] <= 1.0
+
+
+@pytest.mark.slow
+def test_train_cli_streaming(tmp_path):
+    """--streaming: precompute voxel sizes once, train with them fixed —
+    metrics match the searching run exactly (sizes come from the same
+    search; equality is also unit-tested in test_train.py)."""
+    r = run_tool([
+        "tools/train.py", "--epochs", "1", "--batch_size", "2",
+        "--n_samples", "256", "--n_desired_nds", "24", "--n_classes", "6",
+        "--feature_dim", "32", "--save_every", "5", "--streaming",
+        "--out_path", str(tmp_path),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Done." in r.stdout

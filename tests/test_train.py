@@ -127,3 +127,36 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(restored.opt_state),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_streaming_step_matches_search_step():
+    """The streaming train/eval steps (fixed per-cloud voxel sizes) are
+    bit-identical to the searching steps when the sizes come from the
+    search itself — the tools/train.py --streaming contract."""
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+    pts, gt = make_batch()
+    model = NDTNetSegmentation(num_classes=C, feature_dim=32)
+    tx = optax.adam(1e-2)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), jnp.zeros((B, M, 3)),
+        jnp.zeros((B, M, 9)), init_kwargs={"train": False},
+    )
+    step, eval_step = make_ndt_seg_step(M, C, False, "fast")
+
+    _, _, _, _, st = ndt_preprocessing_with_state(
+        M, pts, None, C, False, "fast"
+    )
+    sizes = st.voxel_size
+
+    s_search, m_search = step(state, pts, gt)
+    s_stream, m_stream = step(state, pts, gt, sizes)
+    assert float(m_search["loss"]) == float(m_stream["loss"])
+    assert float(m_search["accuracy"]) == float(m_stream["accuracy"])
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(s_search.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(s_stream.params)[0]),
+    )
+    e_search = eval_step(s_search, pts, gt)
+    e_stream = eval_step(s_search, pts, gt, sizes)
+    assert float(e_search["loss"]) == float(e_stream["loss"])

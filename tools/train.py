@@ -72,6 +72,41 @@ class _OneHotCls:
         return pts, oh
 
 
+class _WithVoxelSizes:
+    """Adapter appending a precomputed per-sample voxel size to each
+    sample: batches become (points, gt, sizes [B] f32) and the seg
+    steps skip the voxel-size search (streaming regime)."""
+
+    def __init__(self, ds, sizes):
+        self.ds, self.sizes = ds, sizes
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        return (*self.ds[i], self.sizes[i])
+
+
+def precompute_voxel_sizes(ds, cfg):
+    """One searched preprocessing pass over the dataset: per-sample
+    accepted voxel sizes, reused for every subsequent epoch."""
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+    n, B = len(ds), cfg.batch_size
+    sizes = np.empty((n,), np.float32)
+    for s in range(0, n, B):
+        idx = list(range(s, min(s + B, n)))
+        pts = np.stack([np.asarray(ds[i][0]) for i in idx])
+        if len(idx) < B:  # pad to the compiled batch shape
+            pts = np.concatenate([pts, np.repeat(pts[-1:], B - len(idx), 0)])
+        _, _, _, _, st = ndt_preprocessing_with_state(
+            cfg.n_desired_nds, jnp.asarray(pts), None, cfg.n_classes,
+            cfg.resolve_use_pallas(), cfg.search,
+        )
+        sizes[s:s + len(idx)] = np.asarray(st.voxel_size)[:len(idx)]
+    return _WithVoxelSizes(ds, sizes)
+
+
 def make_cls_dataset(cfg, split, seed):
     from ndtpu.data.classification import ModelNetCls, SyntheticCls
 
@@ -114,6 +149,10 @@ def main():
     )
 
     if "classification" in cfg.task:
+        if cfg.streaming:
+            raise SystemExit(
+                "--streaming supports the segmentation task only"
+            )
         train_set = make_cls_dataset(cfg, "train", 0)
         val_set = make_cls_dataset(cfg, "val", 1)
         test_set = make_cls_dataset(cfg, "test", 2)
@@ -124,6 +163,12 @@ def main():
                                seed=1, int_labels=cfg.int_labels)
         test_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.test_path,
                                 seed=2, int_labels=cfg.int_labels)
+        if cfg.streaming:
+            # streaming regime: search voxel sizes once, train with them
+            # fixed (one voxelization per cloud per step)
+            train_set = precompute_voxel_sizes(train_set, cfg)
+            val_set = precompute_voxel_sizes(val_set, cfg)
+            test_set = precompute_voxel_sizes(test_set, cfg)
 
     mesh = make_data_mesh(cfg.batch_size, cfg.data_axis)
     steps_per_epoch = max(1, len(train_set) // cfg.batch_size)
