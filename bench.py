@@ -258,17 +258,32 @@ def bench_train(args):
 
     points = jnp.asarray(make_batch(B, N))
     labels = np.random.default_rng(1).integers(0, C, size=(B, N))
-    gt = jax.nn.one_hot(jnp.asarray(labels), C + 1, dtype=jnp.float32)
+    if args.train_gt == "int":
+        # the trainers' default input path (int tags, C+1x less traffic)
+        gt = jnp.asarray(labels, jnp.int32)
+    else:
+        gt = jax.nn.one_hot(jnp.asarray(labels), C + 1, dtype=jnp.float32)
+
+    extra = ()
+    if args.streaming:
+        # tools/train.py --streaming: sizes from one searched pass, the
+        # timed step skips the search (one voxelization per cloud)
+        from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+        _, _, _, _, st = ndt_preprocessing_with_state(
+            M, points, None, C, args.use_pallas, args.search
+        )
+        extra = (st.voxel_size,)
 
     @functools.partial(jax.jit, static_argnames=("inner",))
-    def repeat(state, points, gt, inner: int):
+    def repeat(state, points, gt, inner: int, *extra):
         def body(carry, _):
             st, tot = carry
             # thread the running loss into the points: the preprocessing
             # must NOT be loop-invariant, or XLA hoists the whole NDT
             # stage out of the scan and the "train step" times only the
             # model fwd/bwd (observed: 11.6 -> 2.7 ms/step apparent)
-            st, metrics = step_fn(st, points + tot * 1e-20, gt)
+            st, metrics = step_fn(st, points + tot * 1e-20, gt, *extra)
             return (st, tot + metrics["loss"]), None
 
         (st, tot), _ = jax.lax.scan(
@@ -277,21 +292,22 @@ def bench_train(args):
         return tot
 
     # single-call step too (includes tunnel RTT), for the per-step view
-    new_state, metrics = step_fn(state, points, gt)
+    new_state, metrics = step_fn(state, points, gt, *extra)
     loss0 = float(metrics["loss"])
 
     rtt = measure_rtt()
-    float(repeat(state, points, gt, args.inner))
+    float(repeat(state, points, gt, args.inner, *extra))
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        float(repeat(state, points, gt, args.inner))
+        float(repeat(state, points, gt, args.inner, *extra))
     t_raw = (time.perf_counter() - t0) / args.iters / args.inner
     t_step = max(t_raw - rtt / args.inner, 1e-9)
     tput = B / t_step
     print(
         f"[bench] train step (preprocess+fwd+CE+bwd+Adam): "
         f"{t_step*1000:.2f} ms/step on-device -> {tput:.1f} clouds/s "
-        f"(batch {B}, N {N}, M {M}, search={args.search}); "
+        f"(batch {B}, N {N}, M {M}, search="
+        f"{'streaming' if args.streaming else args.search}); "
         f"first-step loss {loss0:.4f}",
         file=sys.stderr,
     )
@@ -302,6 +318,7 @@ def bench_train(args):
         "step_ms": round(t_step * 1000, 2),
         "raw_step_ms": round(t_raw * 1000, 2),
         "rtt_ms": round(rtt * 1000, 2),
+        "gt": args.train_gt,
         "vs_baseline": None,
     }))
 
@@ -641,6 +658,11 @@ def main():
                    help="benchmark the full TRAINING step (preprocess + "
                         "forward + CE + backward + Adam) — the reference's "
                         "hot loop — instead of the inference pipeline")
+    p.add_argument("--train_gt", type=str, default="int",
+                   choices=["int", "onehot"],
+                   help="GT input contract for --train: 'int' = [B, N] "
+                        "int32 tags (the trainers' default), 'onehot' = "
+                        "the reference's [B, N, C+1]")
     p.add_argument("--roofline", action="store_true",
                    help="bytes-moved roofline accounting: HBM bandwidth, "
                         "%-of-speed-of-light, sort-pass decomposition")
