@@ -341,7 +341,7 @@ def fused_moments_sorted(xt, yt, zt, v, cls, seg_ids, num_segments: int,
     if block_n is None:
         import os
 
-        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "512"))
+        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "256"))
     n = seg_ids.shape[-1]
     block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
     tags = tuple(tags) if tags else ()
@@ -365,7 +365,7 @@ def segment_sum_sorted(feats, seg_ids, num_segments: int,
     if block_n is None:
         import os
 
-        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "512"))
+        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "256"))
     n = feats.shape[-2]
     block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
     fn = _make_fn(int(num_segments), int(block_n))
