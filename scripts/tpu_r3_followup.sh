@@ -42,4 +42,7 @@ EOF
 stamp "stage_timing"
 python scripts/stage_timing.py --use_pallas >> "$LOG" 2>&1
 
+stamp "roofline (RTT-corrected sort micro numbers)"
+python bench.py --roofline --skip_cpu_baseline >> "$LOG" 2>&1
+
 stamp "ALL DONE"
