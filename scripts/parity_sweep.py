@@ -36,7 +36,7 @@ PROTOCOL = {
 }
 
 
-def run_seed(task, seed, outdir, eval_every):
+def run_seed(task, seed, outdir, eval_every, wide_test_size=0):
     out = os.path.join(outdir, f"{task}_{seed}.json")
     if os.path.exists(out):
         print(f"[sweep] {task} seed {seed}: exists, skipping", flush=True)
@@ -48,6 +48,8 @@ def run_seed(task, seed, outdir, eval_every):
     cmd = [sys.executable, os.path.join(REPO, "tools", "parity_train.py"),
            *PROTOCOL[task], "--n_desired_nds", "1000", "--seed", str(seed),
            "--eval_every", str(eval_every), "--out", tmp]
+    if wide_test_size:
+        cmd += ["--wide_test_size", str(wide_test_size)]
     t0 = time.time()
     print(f"[sweep] {task} seed {seed}: running ...", flush=True)
     env = dict(os.environ, NDTPU_PLATFORM="cpu")
@@ -75,21 +77,8 @@ def sign_test_p(wins, losses):
     return min(1.0, 2.0 * tail)
 
 
-def aggregate(task, outdir, dest):
-    seeds = {}
-    for fn in sorted(os.listdir(outdir)):
-        if fn.startswith(task) and fn.endswith(".json"):
-            with open(os.path.join(outdir, fn)) as f:
-                d = json.load(f)
-            seed = fn[len(task) + 1:-5]
-            seeds[seed] = {
-                "ndtpu_test_accuracy": d["ndtpu"]["test_accuracy"],
-                "torch_test_accuracy": d["torch_reference"]["test_accuracy"],
-            }
-    if not seeds:
-        return
-    j = [v["ndtpu_test_accuracy"] for v in seeds.values()]
-    t = [v["torch_test_accuracy"] for v in seeds.values()]
+def paired_stats(j, t):
+    """mean±stderr per side + exact sign test + paired t over seed pairs."""
     n = len(j)
     mean_j, mean_t = sum(j) / n, sum(t) / n
     sd = lambda xs, m: math.sqrt(sum((x - m) ** 2 for x in xs) / max(n - 1, 1))
@@ -105,12 +94,7 @@ def aggregate(task, outdir, dest):
         t_p = float(2.0 * _st.t.sf(abs(t_stat), n - 1))
     except ImportError:
         t_p = math.erfc(abs(t_stat) / math.sqrt(2.0))  # normal approx
-    result = {
-        "task": task,
-        "protocol": "tools/parity_train.py "
-                    + " ".join(PROTOCOL[task] + ["--n_desired_nds", "1000"]),
-        "n_seeds": n,
-        "seeds": seeds,
+    return {
         "mean": {"ndtpu": mean_j, "torch": mean_t},
         "stderr": {"ndtpu": sd(j, mean_j) / math.sqrt(n),
                    "torch": sd(t, mean_t) / math.sqrt(n)},
@@ -119,13 +103,62 @@ def aggregate(task, outdir, dest):
                       "two_sided_p": p},
         "paired_t_test": {"t": t_stat, "two_sided_p": t_p},
     }
+
+
+def aggregate(task, outdir, dest):
+    seeds = {}
+    wide_n = 0
+    for fn in sorted(os.listdir(outdir)):
+        if fn.startswith(task) and fn.endswith(".json"):
+            with open(os.path.join(outdir, fn)) as f:
+                d = json.load(f)
+            seed = fn[len(task) + 1:-5]
+            seeds[seed] = {
+                "ndtpu_test_accuracy": d["ndtpu"]["test_accuracy"],
+                "torch_test_accuracy": d["torch_reference"]["test_accuracy"],
+            }
+            jw = d["ndtpu"].get("test_accuracy_wide")
+            tw = d["torch_reference"].get("test_accuracy_wide")
+            if jw is not None and tw is not None:
+                seeds[seed]["ndtpu_test_accuracy_wide"] = jw
+                seeds[seed]["torch_test_accuracy_wide"] = tw
+                wide_n = max(wide_n, d.get("wide_test_size", 0))
+    if not seeds:
+        return
+    j = [v["ndtpu_test_accuracy"] for v in seeds.values()]
+    t = [v["torch_test_accuracy"] for v in seeds.values()]
+    stats = paired_stats(j, t)
+    result = {
+        "task": task,
+        "protocol": "tools/parity_train.py "
+                    + " ".join(PROTOCOL[task] + ["--n_desired_nds", "1000"]),
+        "n_seeds": len(j),
+        "seeds": seeds,
+        **stats,
+    }
+    wide_pairs = [(v["ndtpu_test_accuracy_wide"], v["torch_test_accuracy_wide"])
+                  for v in seeds.values() if "ndtpu_test_accuracy_wide" in v]
+    if wide_pairs:
+        jw, tw = zip(*wide_pairs)
+        result["wide"] = {"test_size": wide_n, "n_seeds": len(jw),
+                          **paired_stats(list(jw), list(tw))}
     with open(dest, "w") as f:
         json.dump(result, f, indent=1)
-    print(f"[sweep] {task}: n={n} ndtpu {mean_j:.4f}±"
-          f"{result['stderr']['ndtpu']:.4f} torch {mean_t:.4f}±"
-          f"{result['stderr']['torch']:.4f} diff {mean_d:+.4f}±"
-          f"{result['paired_diff']['stderr']:.4f} sign-test p={p:.3f}",
-          flush=True)
+    mean_d = stats["paired_diff"]["mean"]
+    print(f"[sweep] {task}: n={len(j)} ndtpu {stats['mean']['ndtpu']:.4f}±"
+          f"{stats['stderr']['ndtpu']:.4f} torch {stats['mean']['torch']:.4f}±"
+          f"{stats['stderr']['torch']:.4f} diff {mean_d:+.4f}±"
+          f"{stats['paired_diff']['stderr']:.4f} sign-test "
+          f"p={stats['sign_test']['two_sided_p']:.3f}", flush=True)
+    if wide_pairs:
+        w = result["wide"]
+        print(f"[sweep] {task} (wide n={wide_n} clouds, {len(wide_pairs)} "
+              f"seeds): ndtpu {w['mean']['ndtpu']:.4f}±"
+              f"{w['stderr']['ndtpu']:.4f} torch {w['mean']['torch']:.4f}±"
+              f"{w['stderr']['torch']:.4f} diff "
+              f"{w['paired_diff']['mean']:+.4f}±"
+              f"{w['paired_diff']['stderr']:.4f} sign-test "
+              f"p={w['sign_test']['two_sided_p']:.3f}", flush=True)
 
 
 def main():
@@ -138,6 +171,10 @@ def main():
                     help="run this many (task, seed) subprocesses "
                          "concurrently (each is single-threaded; results "
                          "are per-seed deterministic either way)")
+    ap.add_argument("--wide_test_size", type=int, default=0,
+                    help="forwarded to parity_train.py: final-model eval on "
+                         "this many test clouds in addition to the legacy "
+                         "narrow metric (training math unchanged)")
     ap.add_argument("--aggregate_only", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
@@ -147,7 +184,8 @@ def main():
         work = [(task, seed) for task in tasks for seed in seeds]
         if args.jobs <= 1:
             for task, seed in work:
-                run_seed(task, seed, args.outdir, args.eval_every)
+                run_seed(task, seed, args.outdir, args.eval_every,
+                         args.wide_test_size)
                 aggregate(task, args.outdir,
                           os.path.join(REPO, f"PARITY_{'CLS' if task.startswith('c') else 'SEG'}.json"))
         else:
@@ -158,7 +196,8 @@ def main():
 
             def one(ts):
                 task, seed = ts
-                run_seed(task, seed, args.outdir, args.eval_every)
+                run_seed(task, seed, args.outdir, args.eval_every,
+                         args.wide_test_size)
                 with agg_lock:
                     aggregate(task, args.outdir,
                               os.path.join(REPO, f"PARITY_{'CLS' if task.startswith('c') else 'SEG'}.json"))

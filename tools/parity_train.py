@@ -103,11 +103,14 @@ def make_torch_models(task, n_classes, feature_dim, seed):
 
 
 def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
-                batch, lr, loss_mode, eval_every=0):
+                batch, lr, loss_mode, eval_every=0, wide_d=None,
+                labels_wide=None):
     """Train the reference model on the preprocessed tensors; returns the
     per-epoch accuracy/loss curves + final test accuracy (train.py:84-87
     metric). eval_every=K also records test accuracy every K epochs
-    (eval has no side effects — training math is unchanged)."""
+    (eval has no side effects — training math is unchanged). wide_d is an
+    optional larger test split evaluated once at the end (batched so the
+    narrow-metric math is untouched)."""
     import torch
     import torch.nn.functional as F
 
@@ -135,12 +138,14 @@ def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
             acc = (hit * mask).sum() / mask.sum().clamp(min=1)
         return loss, acc
 
-    def eval_test():
+    def eval_test(d=None, labels=None):
+        d = test_d if d is None else d
+        labels = labels_te if labels is None else labels
         t_model.eval()
         with torch.no_grad():
-            idx = np.arange(test_d["pcl"].shape[0])
-            pcl, covs, gt, mask = tensors(test_d, idx)
-            lab = torch.tensor(labels_te) if labels_te is not None else None
+            idx = np.arange(d["pcl"].shape[0])
+            pcl, covs, gt, mask = tensors(d, idx)
+            lab = torch.tensor(labels) if labels is not None else None
             out = t_model(pcl, covs)
             _, test_acc = loss_and_acc(out, gt, mask, lab)
         return float(test_acc)
@@ -167,11 +172,14 @@ def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
             test_curve.append(eval_test())
 
     test_acc = eval_test()
-    return curve, test_acc, loss_curve, test_curve
+    wide_acc = (eval_test(wide_d, labels_wide)
+                if wide_d is not None else None)
+    return curve, test_acc, loss_curve, test_curve, wide_acc
 
 
 def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
-                perms, batch, lr, n_classes, feature_dim, eval_every=0):
+                perms, batch, lr, n_classes, feature_dim, eval_every=0,
+                wide_d=None, labels_wide=None):
     """Train the flax twin from the SAME transplanted init, same schedule."""
     import jax
     import jax.numpy as jnp
@@ -230,11 +238,13 @@ def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
             return jax.nn.one_hot(labels[idx], n_classes)
         return jnp.asarray(d["gt"][idx])
 
-    def eval_test(state):
-        idx = np.arange(test_d["pcl"].shape[0])
+    def eval_test(state, d=None, labels=None):
+        d = test_d if d is None else d
+        labels = labels_te if labels is None else labels
+        idx = np.arange(d["pcl"].shape[0])
         return float(evaluate(
-            state, jnp.asarray(test_d["pcl"]), jnp.asarray(test_d["covs"]),
-            target_of(test_d, labels_te, idx), jnp.asarray(test_d["mask"]),
+            state, jnp.asarray(d["pcl"]), jnp.asarray(d["covs"]),
+            target_of(d, labels, idx), jnp.asarray(d["mask"]),
         ))
 
     curve, loss_curve, test_curve = [], [], []
@@ -255,7 +265,9 @@ def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
         if eval_every and (ep + 1) % eval_every == 0:
             test_curve.append(eval_test(state))
 
-    return curve, eval_test(state), loss_curve, test_curve
+    wide_acc = (eval_test(state, wide_d, labels_wide)
+                if wide_d is not None else None)
+    return curve, eval_test(state), loss_curve, test_curve, wide_acc
 
 
 def main():
@@ -271,6 +283,13 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--train_size", type=int, default=64)
     ap.add_argument("--test_size", type=int, default=16)
+    ap.add_argument("--wide_test_size", type=int, default=0,
+                    help="also evaluate the FINAL model of both frameworks "
+                         "on this many test clouds (>= test_size; the first "
+                         "test_size clouds are bit-identical to the narrow "
+                         "split — SyntheticCls/Seg derive each cloud from "
+                         "(seed, index) — so the legacy metric reproduces "
+                         "exactly while the wide one shrinks eval noise)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--torch_loss", default="intent",
                     choices=["intent", "literal"])
@@ -293,18 +312,27 @@ def main():
     args = ap.parse_args()
 
     t0 = time.time()
+    full_test = max(args.test_size, args.wide_test_size)
     (tr_pts, tr_lab, tr_gt), (te_pts, te_lab, te_gt), n_classes = (
         build_dataset(args.task, args.n_samples, args.train_size,
-                      args.test_size, args.n_classes, args.seed)
+                      full_test, args.n_classes, args.seed)
     )
     print(f"[parity] dataset built ({time.time() - t0:.1f}s); "
-          f"preprocessing {args.train_size}+{args.test_size} clouds "
+          f"preprocessing {args.train_size}+{full_test} clouds "
           f"of {args.n_samples} pts -> {args.n_desired_nds} NDs ...",
           flush=True)
     train_d = preprocess(tr_pts, tr_gt, args.n_desired_nds, n_classes,
                          chunk=args.batch_size)
-    test_d = preprocess(te_pts, te_gt, args.n_desired_nds, n_classes,
-                        chunk=args.batch_size)
+    wide_full = preprocess(te_pts, te_gt, args.n_desired_nds, n_classes,
+                           chunk=args.batch_size)
+    # the narrow split is a prefix VIEW of the wide one: preprocessing is
+    # chunked at batch_size (64 % 8 == 0), so the first test_size rows are
+    # bit-identical to a narrow-only run and the legacy metric reproduces
+    test_d = {k: v[:args.test_size] for k, v in wide_full.items()}
+    wide_d = wide_full if args.wide_test_size > args.test_size else None
+    te_lab_wide = te_lab
+    if te_lab is not None:
+        te_lab, te_lab_wide = te_lab[:args.test_size], te_lab
     print(f"[parity] preprocessing done ({time.time() - t0:.1f}s); "
           f"mask valid fraction train="
           f"{train_d['mask'].mean():.4f} test={test_d['mask'].mean():.4f}",
@@ -334,20 +362,23 @@ def main():
     rng = np.random.default_rng(args.seed + 13)
     perms = [rng.permutation(args.train_size) for _ in range(args.epochs)]
 
-    j_curve, j_test, j_loss, j_testc = train_ndtpu(
+    j_curve, j_test, j_loss, j_testc, j_wide = train_ndtpu(
         variables, args.task, train_d, test_d, tr_lab, te_lab, perms,
         args.batch_size, args.lr, n_classes, args.feature_dim,
-        args.eval_every,
+        args.eval_every, wide_d, te_lab_wide,
     )
     print(f"[parity] ndtpu trained ({time.time() - t0:.1f}s): "
-          f"final train acc {j_curve[-1]:.4f}, test acc {j_test:.4f}",
+          f"final train acc {j_curve[-1]:.4f}, test acc {j_test:.4f}"
+          + (f", wide acc {j_wide:.4f}" if j_wide is not None else ""),
           flush=True)
-    t_curve, t_test, t_loss, t_testc = train_torch(
+    t_curve, t_test, t_loss, t_testc, t_wide = train_torch(
         t_model, args.task, train_d, test_d, tr_lab, te_lab, perms,
         args.batch_size, args.lr, args.torch_loss, args.eval_every,
+        wide_d, te_lab_wide,
     )
     print(f"[parity] torch reference trained ({time.time() - t0:.1f}s): "
-          f"final train acc {t_curve[-1]:.4f}, test acc {t_test:.4f}",
+          f"final train acc {t_curve[-1]:.4f}, test acc {t_test:.4f}"
+          + (f", wide acc {t_wide:.4f}" if t_wide is not None else ""),
           flush=True)
 
     result = {
@@ -361,9 +392,12 @@ def main():
         "lr": args.lr,
         "torch_loss": args.torch_loss,
         "ndtpu": {"train_curve": j_curve, "test_accuracy": j_test,
-                  "train_loss_curve": j_loss, "test_curve": j_testc},
+                  "train_loss_curve": j_loss, "test_curve": j_testc,
+                  "test_accuracy_wide": j_wide},
         "torch_reference": {"train_curve": t_curve, "test_accuracy": t_test,
-                            "train_loss_curve": t_loss, "test_curve": t_testc},
+                            "train_loss_curve": t_loss, "test_curve": t_testc,
+                            "test_accuracy_wide": t_wide},
+        "wide_test_size": args.wide_test_size,
         "parity": j_test >= t_test - 0.02,
         "wall_s": round(time.time() - t0, 1),
     }
