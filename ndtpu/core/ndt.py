@@ -789,18 +789,23 @@ def _emit(state: NDTResult, n_out: int, prune_order: str = "ascending"):
         )
     else:
         key = jnp.where(occupied, state.min_kl, jnp.inf)
-    order = jnp.argsort(key, stable=True)
-    # rank = inverse permutation of order; argsort of a permutation IS its
-    # inverse (avoids a scatter, which serializes on TPU)
-    rank = jnp.argsort(order).astype(jnp.int32)
-    removed = occupied & (rank < to_remove)
-    keep = occupied & ~removed
-
-    # stable compaction in ascending voxel-index order (= current order),
-    # replacing to_point_cloud's sequential append (ndt.c:75-117)
     ar = jnp.arange(k, dtype=jnp.int32)
-    perm = jnp.argsort(jnp.where(keep, ar, k + ar), stable=True)[:n_out]
-    out_mask = keep[perm]
+    # sort 1: ascending prune key, payload = segment id. Row i of the
+    # sorted order has rank i, so "rank[seg] < to_remove" is just a
+    # position test in sorted space — the separate argsort-of-argsort
+    # inverse-permutation pass is gone (VERDICT r3: K-row bookkeeping).
+    _, seg_by_kl = jax.lax.sort((key, ar), num_keys=1, is_stable=True)
+    kept_s = (ar >= to_remove) & occupied[seg_by_kl]
+
+    # sort 2: stable compaction in ascending voxel-index order, replacing
+    # to_point_cloud's sequential append (ndt.c:75-117); keys are unique
+    # ints so one sort yields both the gather perm and the out mask
+    comp_key = jnp.where(kept_s, seg_by_kl, k + seg_by_kl)
+    _, perm, kept_c = jax.lax.sort(
+        (comp_key, seg_by_kl, kept_s.astype(jnp.int32)), num_keys=1
+    )
+    perm = perm[:n_out]
+    out_mask = kept_c[:n_out] > 0
     pcl = jnp.where(out_mask[:, None], state.means[perm], 0.0)
     covs = jnp.where(out_mask[:, None], state.covs[perm].reshape(n_out, 9), 0.0)
     labels = jnp.where(
