@@ -48,7 +48,7 @@ def make_batch(batch, n_points, seed=0):
 
 
 def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas,
-                   search="fast", streaming=False, dtype="f32"):
+                   search="fast", streaming=False, dtype="f32", warm=False):
     import jax
     import jax.numpy as jnp
 
@@ -69,31 +69,40 @@ def build_pipeline(n_desired, n_classes, feature_dim, batch, use_pallas,
     )
 
     def pipeline(variables, points, sizes=None):
-        pcl, covs, _, mask, _ = ndt_preprocessing_with_state(
+        pcl, covs, _, mask, st = ndt_preprocessing_with_state(
             n_desired, points, None, n_classes, use_pallas, search,
             fixed_voxel_sizes=sizes if streaming else None,
+            warm_start_sizes=sizes if warm else None,
         )
-        return model.apply(
+        out = model.apply(
             variables, pcl, covs, train=False, return_logits=True
         )
+        return out, st.voxel_size
 
     @jax.jit
     def pipeline_scalar(variables, points, sizes=None):
         # scalar readback forces true completion: on the tunneled axon
         # backend block_until_ready returns before execution finishes,
         # so timing must fetch a value derived from the full output
-        return jnp.sum(pipeline(variables, points, sizes).astype(jnp.float32))
+        out, _ = pipeline(variables, points, sizes)
+        return jnp.sum(out.astype(jnp.float32))
 
     @functools.partial(jax.jit, static_argnames=("inner",))
     def pipeline_repeat(variables, points, inner: int, sizes=None):
         # on-device loop amortizes the ~25 ms tunnel round-trip out of the
         # measurement; the carry feeds back into the input so iterations
-        # can't be CSE'd or elided
+        # can't be CSE'd or elided. Warm mode threads each iteration's
+        # accepted voxel sizes into the next (the frame-stream steady
+        # state); otherwise the sizes pass through unchanged.
         def body(carry, _):
-            out = pipeline(variables, points + carry * 1e-20, sizes)
-            return jnp.sum(out.astype(jnp.float32)), None
+            tot, sz = carry
+            out, new_sz = pipeline(variables, points + tot * 1e-20, sz)
+            return (jnp.sum(out.astype(jnp.float32)),
+                    new_sz if warm else sz), None
 
-        total, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=inner)
+        (total, _), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), sizes), None, length=inner
+        )
         return total
 
     return pipeline, pipeline_scalar, pipeline_repeat, variables
@@ -647,6 +656,12 @@ def main():
                    help="streaming regime: voxel sizes searched once, then "
                         "fixed for the timed loop (frame-stream production "
                         "mode, one voxelization per cloud)")
+    p.add_argument("--warm_start", action="store_true",
+                   help="warm-start regime: each iteration seeds the fast "
+                        "search with the previous iteration's accepted "
+                        "voxel sizes (band still enforced — the "
+                        "self-healing version of --streaming; steady state "
+                        "= one voxelization per cloud)")
     p.add_argument("--giant", action="store_true",
                    help="giant-cloud config: one 1M+-point cloud through "
                         "the point-sharded pipeline on a 1-chip mesh")
@@ -706,12 +721,12 @@ def main():
     _, pipeline_scalar, pipeline_repeat, variables = build_pipeline(
         args.n_desired_nds, args.n_classes, args.feature_dim,
         args.batch_size, args.use_pallas, args.search, args.streaming,
-        args.dtype,
+        args.dtype, args.warm_start,
     )
     batch_dev = jnp.asarray(batch)
 
     sizes = None
-    if args.streaming:
+    if args.streaming or args.warm_start:
         # one searched pass provides the per-cloud voxel sizes
         from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
 
@@ -720,7 +735,8 @@ def main():
             args.use_pallas, args.search,
         )
         sizes = st.voxel_size
-        print(f"[bench] streaming: voxel sizes fixed from a searched pass",
+        mode = "streaming" if args.streaming else "warm-start"
+        print(f"[bench] {mode}: voxel sizes seeded from a searched pass",
               file=sys.stderr)
 
     # warmup/compile both programs
@@ -773,6 +789,8 @@ def main():
 
     print(json.dumps({
         "metric": "ndt_preprocess_forward_throughput",
+        "mode": ("streaming" if args.streaming
+                 else "warm_start" if args.warm_start else "searched"),
         "value": round(tput, 3),
         "unit": "clouds/s/chip",
         "per_batch_ms": round(t_inner * 1000, 2),

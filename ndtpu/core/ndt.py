@@ -521,7 +521,8 @@ def _sort_payload_at(px, py, pz, mask, classes, size, mins, maxs, tagged,
 
 
 def _search_and_sort_fast(px, py, pz, mask, classes, n_desired, mins, maxs,
-                          lo_min, tagged, key_mode="packed"):
+                          lo_min, tagged, key_mode="packed",
+                          size0_override=None):
     """Fast search fused with the build's payload sort.
 
     Identical acceptance trajectory to _search_voxel_size_fast, but every
@@ -538,11 +539,22 @@ def _search_and_sort_fast(px, py, pz, mask, classes, n_desired, mins, maxs,
     at the price of one extra sort only on the (rare) unconverged clouds'
     batches.
 
+    size0_override: optional runtime scalar replacing the geometric-mean
+    seed — the warm-start path (an accepted size from a previous frame or
+    batch of the same stream). Band monitoring is unchanged: the override
+    is evaluated like any guess, so a stale seed just costs the searched
+    trajectory, never correctness. Steady state = 1 sort, like
+    fixed_voxel_size but self-healing (the amortization target:
+    ndt.c:136-187 re-voxelizes up to 15x per cloud).
+
     Returns (voxel_size, converged, sorted operand tuple).
     """
     upper = n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD)
     target = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD / 2.0))
-    size0, _, _ = vx.estimate_voxel_size(n_desired, mins, maxs)
+    if size0_override is not None:
+        size0 = jnp.asarray(size0_override, jnp.float32)
+    else:
+        size0, _, _ = vx.estimate_voxel_size(n_desired, mins, maxs)
     lo0 = jnp.float32(MIN_VOXEL_GUESS)
     if lo_min is not None:
         lo0 = jnp.maximum(lo0, lo_min)
@@ -824,7 +836,8 @@ def _emit(state: NDTResult, n_out: int, prune_order: str = "ascending"):
 def ndt_downsample(points, n_desired: int, mask=None, classes=None,
                    num_class_slots: int = 1, use_pallas: bool = False,
                    prune_order: str = "ascending", search: str = "reference",
-                   fixed_voxel_size=None, key_mode: str = "packed"):
+                   fixed_voxel_size=None, key_mode: str = "packed",
+                   warm_start_size=None):
     """Full NDT downsample of one cloud (ndt_downsample, ndt.c:119-222).
 
     Args:
@@ -847,6 +860,12 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
         clouds share statistics, reuse `state.voxel_size` from a previous
         frame. The prune still trims to exactly n_desired when at least
         n_desired voxels are occupied.
+      warm_start_size: optional runtime scalar seeding the "fast" search's
+        first evaluation (e.g. the previous frame's/batch's accepted
+        ``state.voxel_size``). Unlike fixed_voxel_size the acceptance band
+        is still enforced — an in-band seed costs one voxelization
+        (streaming speed), an out-of-band one falls back to the searched
+        trajectory. Ignored by the other search modes.
       key_mode: "packed" (default) keys voxels with one packed int32 —
         the search's lower bound is clamped to the < 2^31-cell grid
         envelope, and `converged` is False whenever that clamp prevented
@@ -909,6 +928,7 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
         voxel_size, converged, presorted = _search_and_sort_fast(
             px, py, pz, mask, classes, n_desired, mins, maxs,
             lo_min=envelope, tagged=num_class_slots > 1, key_mode=key_mode,
+            size0_override=warm_start_size,
         )
     else:
         # exact C bisection trajectory (ndt.c:136-187): counts use the

@@ -27,7 +27,8 @@ def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
                                  num_classes: int = 0,
                                  use_pallas: bool = False,
                                  search: str = "reference",
-                                 fixed_voxel_sizes=None):
+                                 fixed_voxel_sizes=None,
+                                 warm_start_sizes=None):
     """Like `ndt_preprocessing` but also returns (out_mask, NDTResult batch)
     for multiscale models that prune mid-forward.
 
@@ -35,6 +36,11 @@ def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
     search entirely (one voxelization per cloud). For streaming workloads
     where consecutive frames share statistics, feed back
     ``state.voxel_size`` from an earlier batch.
+
+    warm_start_sizes: optional [B] f32 — seeds the "fast" search's first
+    evaluation per cloud (band still enforced; see ndt_downsample): the
+    self-healing version of fixed_voxel_sizes. In steady state one
+    voxelization per cloud, on drift the full searched trajectory.
 
     ``classes_onehot`` also accepts integer class tags [B, N] directly
     (the production input path: an int32 label batch is C+1 times smaller
@@ -62,7 +68,18 @@ def ndt_preprocessing_with_state(num_nds: int, points, classes_onehot=None,
         tags = jnp.zeros(points.shape[:2], jnp.int32)
         ds_slots = 1
 
-    if fixed_voxel_sizes is None:
+    if fixed_voxel_sizes is None and warm_start_sizes is not None:
+        def one_warm(p, cls, ws):
+            return ndt_downsample(
+                p, num_nds, None, cls, num_class_slots=ds_slots,
+                use_pallas=use_pallas, search=search, warm_start_size=ws,
+            )
+
+        pcl, covs, labels, mask, state = jax.vmap(one_warm)(
+            points.astype(jnp.float32), tags,
+            jnp.asarray(warm_start_sizes, jnp.float32),
+        )
+    elif fixed_voxel_sizes is None:
         def one(p, cls):
             return ndt_downsample(
                 p, num_nds, None, cls, num_class_slots=ds_slots,

@@ -382,3 +382,27 @@ def test_fused_search_matches_unfused_trajectory():
             (jnp.asarray(cols[0]),) , num_keys=1
         )[0]
         np.testing.assert_array_equal(np.asarray(cols[0]), np.asarray(resorted))
+
+
+def test_warm_start_in_band_seed_matches_searched():
+    """Seeding the fast search with its own accepted size must reproduce
+    the searched output exactly (the first evaluation lands in band and is
+    accepted), and a garbage seed must still converge to an in-band size
+    — band monitoring makes warm start self-healing (ndt.c:136-187 is the
+    per-cloud cost being amortized)."""
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.normal(size=(1024, 3)).astype(np.float32) * 3.0)
+    ref = ndt_downsample(pts, 48, search="fast")
+    seeded = ndt_downsample(
+        pts, 48, search="fast", warm_start_size=ref[4].voxel_size
+    )
+    assert float(seeded[4].voxel_size) == float(ref[4].voxel_size)
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(seeded[3]))
+    np.testing.assert_allclose(
+        np.asarray(ref[0]), np.asarray(seeded[0]), rtol=0, atol=0
+    )
+    # stale/garbage seed: band still enforced, output count still in band
+    stale = ndt_downsample(pts, 48, search="fast",
+                           warm_start_size=jnp.float32(25.0))
+    assert bool(stale[4].converged)
+    assert 48 <= int(stale[4].num_valid) <= int(48 * 1.2)
