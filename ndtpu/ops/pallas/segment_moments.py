@@ -53,51 +53,59 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(seg_ref, feats_ref, out_ref, *, block_n, rows, bf16x3):
+def _kernel(seg_ref, feats_ref, out_ref, *, block_n, sub_n, rows, bf16x3):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    seg = seg_ref[0, 0, :]  # [block_n] int32, sorted non-decreasing
-    feats = feats_ref[:]  # [block_n, F] f32
+    # One grid step DMAs block_n points but contracts them in sub_n-point
+    # sub-blocks, each against its own small one-hot window: per-grid-step
+    # fixed costs (DMA issue, control) amortize over block_n while the
+    # onehot-matmul FLOPs stay ~(sub_n + 8) * F per point. Dense sorted
+    # ids bound any sub-block's id span by sub_n, so the sub-window always
+    # suffices — same argument as the original whole-block window.
+    for j in range(block_n // sub_n):
+        seg = seg_ref[0, 0, pl.ds(j * sub_n, sub_n)]
+        feats = feats_ref[pl.ds(j * sub_n, sub_n), :]
 
-    window = block_n + _SUBLANE
-    # clamp window into out, then align down to a whole-sublane boundary
-    start = jnp.minimum(seg[0], rows - window)
-    start = pl.multiple_of((start // _SUBLANE) * _SUBLANE, _SUBLANE)
-    local = seg - start  # in [0, window) for every valid row (dense sorted)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (window, block_n), 0)
-    hit = iota == local[None, :]
+        window = sub_n + _SUBLANE
+        # clamp window into out, then align down to a sublane boundary
+        start = jnp.minimum(seg[0], rows - window)
+        start = pl.multiple_of((start // _SUBLANE) * _SUBLANE, _SUBLANE)
+        local = seg - start  # in [0, window) for every valid row
+        iota = jax.lax.broadcasted_iota(jnp.int32, (window, sub_n), 0)
+        hit = iota == local[None, :]
 
-    if bf16x3:
-        # The one-hot matrix is exact in bf16, so the contraction can run at
-        # the MXU's bf16 rate if feats is split into three bf16 mantissa
-        # chunks (hi + mid + lo reconstructs >= f32's 24 mantissa bits; each
-        # residual subtraction below is exact in f32). The chunks pack along
-        # lanes (F -> 3F; for the NDT feature width 3*42 = 126 <= 128 this
-        # is free under lane padding) so ONE matmul computes all three
-        # partial sums, folded back in f32 afterwards.
-        f = feats.shape[1]
-        hi = feats.astype(jnp.bfloat16)
-        r1 = feats - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        packed = jnp.concatenate([hi, mid, lo], axis=1)  # [block_n, 3F] bf16
-        p = jax.lax.dot_general(
-            hit.astype(jnp.bfloat16), packed,
-            dimension_numbers=(((1,), (0,)), ((), ())),  # onehot @ packed
-            preferred_element_type=jnp.float32,
-        )  # [window, 3F] f32
-        contrib = p[:, :f] + p[:, f:2 * f] + p[:, 2 * f:]
-    else:
-        contrib = jax.lax.dot_general(
-            hit.astype(jnp.float32), feats,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [window, F]
-    out_ref[pl.ds(start, window), :] += contrib
+        if bf16x3:
+            # The one-hot matrix is exact in bf16, so the contraction can
+            # run at the MXU's bf16 rate if feats is split into three bf16
+            # mantissa chunks (hi + mid + lo reconstructs >= f32's 24
+            # mantissa bits; each residual subtraction below is exact in
+            # f32). The chunks pack along lanes (F -> 3F; for the NDT
+            # feature width 3*42 = 126 <= 128 this is free under lane
+            # padding) so ONE matmul computes all three partial sums,
+            # folded back in f32 afterwards.
+            f = feats.shape[1]
+            hi = feats.astype(jnp.bfloat16)
+            r1 = feats - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            packed = jnp.concatenate([hi, mid, lo], axis=1)
+            p = jax.lax.dot_general(
+                hit.astype(jnp.bfloat16), packed,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [window, 3F] f32
+            contrib = p[:, :f] + p[:, f:2 * f] + p[:, 2 * f:]
+        else:
+            contrib = jax.lax.dot_general(
+                hit.astype(jnp.float32), feats,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [window, F]
+        out_ref[pl.ds(start, window), :] += contrib
 
 
 def _bf16x3_enabled() -> bool:
@@ -112,13 +120,14 @@ def _bf16x3_enabled() -> bool:
     return os.environ.get("NDTPU_PALLAS_PRECISION", "f32") == "bf16x3"
 
 
-def _call_kernel(feats_flat, seg_flat, rows: int, block_n: int):
+def _call_kernel(feats_flat, seg_flat, rows: int, block_n: int, sub_n: int):
     """feats [M, F] f32, seg [M] i32 (M % block_n == 0) -> [rows, F]."""
     m, f = feats_flat.shape
     grid = (m // block_n,)
     return pl.pallas_call(
         functools.partial(
-            _kernel, block_n=block_n, rows=rows, bf16x3=_bf16x3_enabled()
+            _kernel, block_n=block_n, sub_n=sub_n, rows=rows,
+            bf16x3=_bf16x3_enabled(),
         ),
         grid=grid,
         in_specs=[
@@ -147,13 +156,13 @@ def _pad(feats, seg_ids, block_n):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fn(num_segments: int, block_n: int):
-    rows = _round_up(max(num_segments, block_n + _SUBLANE), _SUBLANE)
+def _make_fn(num_segments: int, block_n: int, sub_n: int):
+    rows = _round_up(max(num_segments, sub_n + _SUBLANE), _SUBLANE)
 
     @jax.custom_batching.custom_vmap
     def f(feats, seg_ids):
         feats_p, seg_p = _pad(feats, seg_ids, block_n)
-        out = _call_kernel(feats_p, seg_p, rows, block_n)
+        out = _call_kernel(feats_p, seg_p, rows, block_n, sub_n)
         return out[:num_segments]
 
     @f.def_vmap
@@ -171,7 +180,7 @@ def _make_fn(num_segments: int, block_n: int):
             seg_p >= num_segments, _BIG, seg_p + offs
         ).reshape(b * n_p)
         feats_flat = feats_p.reshape(b * n_p, feats_p.shape[-1])
-        out = _call_kernel(feats_flat, seg_flat, b * rows, block_n)
+        out = _call_kernel(feats_flat, seg_flat, b * rows, block_n, sub_n)
         out = out.reshape(b, rows, feats_p.shape[-1])[:, :num_segments]
         return out, True
 
@@ -179,14 +188,20 @@ def _make_fn(num_segments: int, block_n: int):
 
 
 def _moments_kernel(seg_ref, xt_ref, yt_ref, zt_ref, v_ref, cls_ref,
-                    *tag_and_out_refs, block_n, rows, slots, n_tags, bf16x3):
+                    *tag_and_out_refs, block_n, sub_n, rows, slots, n_tags,
+                    bf16x3):
     """Fused NDT-moment accumulation: builds the 13(+slots)(+tags)-row
     feature matrix in VMEM from compact 1-D inputs, then contracts it with
     the block one-hot on the MXU. Never materializes [N, F] in HBM.
 
     Tag rows (see moments.segment_moments_soa) are sparse per-segment
     constants — at most one nonzero row per segment — so their contraction
-    result is a single exact f32 value, not an accumulated sum."""
+    result is a single exact f32 value, not an accumulated sum.
+
+    Sub-blocking (see _kernel): one grid step DMAs block_n points but
+    contracts sub_n at a time against a (sub_n + 8)-row one-hot window, so
+    grid-step overhead amortizes over block_n while matmul FLOPs scale
+    with sub_n."""
     *tag_refs, out_ref = tag_and_out_refs
     step = pl.program_id(0)
 
@@ -194,55 +209,57 @@ def _moments_kernel(seg_ref, xt_ref, yt_ref, zt_ref, v_ref, cls_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    seg = seg_ref[0, 0, :]
-    xt = xt_ref[0, 0, :]
-    yt = yt_ref[0, 0, :]
-    zt = zt_ref[0, 0, :]
-    v = v_ref[0, 0, :]
-    cls = cls_ref[0, 0, :]
+    for j in range(block_n // sub_n):
+        sl = pl.ds(j * sub_n, sub_n)
+        seg = seg_ref[0, 0, sl]
+        xt = xt_ref[0, 0, sl]
+        yt = yt_ref[0, 0, sl]
+        zt = zt_ref[0, 0, sl]
+        v = v_ref[0, 0, sl]
+        cls = cls_ref[0, 0, sl]
 
-    window = block_n + _SUBLANE
-    start = jnp.minimum(seg[0], rows - window)
-    start = pl.multiple_of((start // _SUBLANE) * _SUBLANE, _SUBLANE)
-    local = seg - start
-    hit = (
-        jax.lax.broadcasted_iota(jnp.int32, (window, block_n), 0)
-        == local[None, :]
-    )
+        window = sub_n + _SUBLANE
+        start = jnp.minimum(seg[0], rows - window)
+        start = pl.multiple_of((start // _SUBLANE) * _SUBLANE, _SUBLANE)
+        local = seg - start
+        hit = (
+            jax.lax.broadcasted_iota(jnp.int32, (window, sub_n), 0)
+            == local[None, :]
+        )
 
-    xx, xy, xz = xt * xt, xt * yt, xt * zt
-    yy, yz, zz = yt * yt, yt * zt, zt * zt
-    row_list = [v, xt, yt, zt, xx, xy, xz, xy, yy, yz, xz, yz, zz]
-    for c in range(slots):
-        row_list.append(v * (cls == c).astype(jnp.float32))
-    for tr in tag_refs:
-        row_list.append(tr[0, 0, :])
-    feats = jnp.stack(row_list, axis=0)  # [F, block_n] f32, VMEM only
+        xx, xy, xz = xt * xt, xt * yt, xt * zt
+        yy, yz, zz = yt * yt, yt * zt, zt * zt
+        row_list = [v, xt, yt, zt, xx, xy, xz, xy, yy, yz, xz, yz, zz]
+        for c in range(slots):
+            row_list.append(v * (cls == c).astype(jnp.float32))
+        for tr in tag_refs:
+            row_list.append(tr[0, 0, sl])
+        feats = jnp.stack(row_list, axis=0)  # [F, sub_n] f32, VMEM only
 
-    if bf16x3:
-        f = feats.shape[0]
-        hi = feats.astype(jnp.bfloat16)
-        r1 = feats - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        packed = jnp.concatenate([hi, mid, lo], axis=0)  # [3F, block_n]
-        p = jax.lax.dot_general(
-            hit.astype(jnp.bfloat16), packed,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [window, 3F]
-        contrib = p[:, :f] + p[:, f:2 * f] + p[:, 2 * f:]
-    else:
-        contrib = jax.lax.dot_general(
-            hit.astype(jnp.float32), feats,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [window, F]
-    out_ref[pl.ds(start, window), :] += contrib
+        if bf16x3:
+            f = feats.shape[0]
+            hi = feats.astype(jnp.bfloat16)
+            r1 = feats - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            packed = jnp.concatenate([hi, mid, lo], axis=0)  # [3F, sub_n]
+            p = jax.lax.dot_general(
+                hit.astype(jnp.bfloat16), packed,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [window, 3F]
+            contrib = p[:, :f] + p[:, f:2 * f] + p[:, 2 * f:]
+        else:
+            contrib = jax.lax.dot_general(
+                hit.astype(jnp.float32), feats,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [window, F]
+        out_ref[pl.ds(start, window), :] += contrib
 
 
 def _call_moments_kernel(seg, xt, yt, zt, v, cls, tags, rows: int,
-                         block_n: int, slots: int):
+                         block_n: int, sub_n: int, slots: int):
     """All inputs flat [M] (M % block_n == 0) -> [rows, 13 + slots + tags]."""
     m = seg.shape[0]
     grid = (m // block_n,)
@@ -257,8 +274,8 @@ def _call_moments_kernel(seg, xt, yt, zt, v, cls, tags, rows: int,
 
     return pl.pallas_call(
         functools.partial(
-            _moments_kernel, block_n=block_n, rows=rows, slots=slots,
-            n_tags=n_tags, bf16x3=_bf16x3_enabled(),
+            _moments_kernel, block_n=block_n, sub_n=sub_n, rows=rows,
+            slots=slots, n_tags=n_tags, bf16x3=_bf16x3_enabled(),
         ),
         grid=grid,
         in_specs=[spec() for _ in range(6 + n_tags)],
@@ -284,8 +301,8 @@ def _pad1(a, block_n, value=0):
 
 @functools.lru_cache(maxsize=None)
 def _make_moments_fn(num_segments: int, slots: int, block_n: int,
-                     n_tags: int):
-    rows = _round_up(max(num_segments, block_n + _SUBLANE), _SUBLANE)
+                     n_tags: int, sub_n: int):
+    rows = _round_up(max(num_segments, sub_n + _SUBLANE), _SUBLANE)
     f_out = 13 + slots + n_tags
 
     @jax.custom_batching.custom_vmap
@@ -295,7 +312,7 @@ def _make_moments_fn(num_segments: int, slots: int, block_n: int,
         cls_p = _pad1(cls, block_n)
         tags_p = [_pad1(t, block_n) for t in tags]
         out = _call_moments_kernel(
-            seg_p, *args, cls_p, tags_p, rows, block_n, slots
+            seg_p, *args, cls_p, tags_p, rows, block_n, sub_n, slots
         )
         return out[:num_segments]
 
@@ -318,12 +335,29 @@ def _make_moments_fn(num_segments: int, slots: int, block_n: int,
         ]
         tags_flat = [_pad1(t, block_n).reshape(b * n_p) for t in tags]
         out = _call_moments_kernel(
-            seg_flat, *flat, tags_flat, b * rows, block_n, slots
+            seg_flat, *flat, tags_flat, b * rows, block_n, sub_n, slots
         )
         out = out.reshape(b, rows, f_out)[:, :num_segments]
         return out, True
 
     return f
+
+
+def _block_config(block_n, n):
+    """Resolve (block_n, sub_n) from args/env: block_n is the DMA grain
+    per grid step (NDTPU_PALLAS_BLOCK), sub_n the one-hot matmul grain
+    (NDTPU_PALLAS_SUBBLOCK, default = block_n i.e. no sub-blocking).
+    sub_n must divide block_n; a non-divisor falls back to block_n."""
+    import os
+
+    if block_n is None:
+        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "256"))
+    block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
+    sub_n = int(os.environ.get("NDTPU_PALLAS_SUBBLOCK", "0")) or block_n
+    sub_n = min(sub_n, block_n)
+    if block_n % sub_n:
+        sub_n = block_n
+    return block_n, sub_n
 
 
 def fused_moments_sorted(xt, yt, zt, v, cls, seg_ids, num_segments: int,
@@ -338,15 +372,10 @@ def fused_moments_sorted(xt, yt, zt, v, cls, seg_ids, num_segments: int,
     moments.segment_moments_soa). Returns
     [..., num_segments, 13 + slots + len(tags)] f32 accumulator rows
     [count, Σx̃, Σx̃x̃ᵀ(9), class histogram(slots), tag values]."""
-    if block_n is None:
-        import os
-
-        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "256"))
-    n = seg_ids.shape[-1]
-    block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
+    block_n, sub_n = _block_config(block_n, seg_ids.shape[-1])
     tags = tuple(tags) if tags else ()
     fn = _make_moments_fn(
-        int(num_segments), int(slots), int(block_n), len(tags)
+        int(num_segments), int(slots), int(block_n), len(tags), int(sub_n)
     )
     return fn(xt, yt, zt, v, cls.astype(jnp.int32),
               seg_ids.astype(jnp.int32), *tags)
@@ -360,13 +389,10 @@ def segment_sum_sorted(feats, seg_ids, num_segments: int,
     Matches jax.ops.segment_sum(indices_are_sorted=True) under that
     precondition, and vmaps (one fused kernel call for the whole batch).
 
-    block_n trades onehot-matmul FLOPs (~block_n^2 * F per block) against
-    grid-step count; overridable via NDTPU_PALLAS_BLOCK for tuning."""
-    if block_n is None:
-        import os
-
-        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "256"))
-    n = feats.shape[-2]
-    block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
-    fn = _make_fn(int(num_segments), int(block_n))
+    block_n trades DMA grain against grid-step count and sub_n (see
+    _block_config) bounds the onehot-matmul FLOPs (~sub_n^2 * F per
+    sub-block); overridable via NDTPU_PALLAS_BLOCK / NDTPU_PALLAS_SUBBLOCK
+    for tuning."""
+    block_n, sub_n = _block_config(block_n, feats.shape[-2])
+    fn = _make_fn(int(num_segments), int(block_n), int(sub_n))
     return fn(feats, seg_ids.astype(jnp.int32))

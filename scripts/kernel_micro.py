@@ -13,6 +13,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# pin the backend BEFORE any jax use (the env var alone is ignored: this
+# image's sitecustomize force-registers the tunneled TPU)
+if os.environ.get("NDTPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["NDTPU_PLATFORM"])
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -22,9 +29,18 @@ def main():
     p.add_argument("--k", type=int, default=1209)
     p.add_argument("--mode", type=str, default="pallas",
                    choices=["pallas", "xla", "none", "sort1", "sort2",
-                            "sort7"],
+                            "sort7", "moments", "moments_noflop",
+                            "moments_empty"],
                    help="'none' times only the input perturbation loop; "
-                        "sortN times an N-operand lax.sort over [B, N]")
+                        "sortN times an N-operand lax.sort over [B, N]; "
+                        "the moments* trio isolates the fused moment "
+                        "kernel's cost structure at the production grid: "
+                        "'moments' = the real kernel, 'moments_noflop' = "
+                        "same DMAs + VPU feats build, matmul replaced by "
+                        "a row reduce, 'moments_empty' = same grid/DMAs "
+                        "with an empty body (the per-grid-step floor)")
+    p.add_argument("--slots", type=int, default=1)
+    p.add_argument("--n_tags", type=int, default=3)
     p.add_argument("--inner", type=int, default=32)
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args()
@@ -60,6 +76,125 @@ def main():
                     ff, ss, num_segments=args.k, indices_are_sorted=True
                 )
             )(f, s)
+    elif args.mode.startswith("moments"):
+        # probe trio at the PRODUCTION layout: flat [B*N] SoA vectors with
+        # per-batch-offset dense sorted ids (exactly what the custom_vmap
+        # rule feeds _call_moments_kernel), slots/tags as in the canonical
+        # untagged inference pipeline (slots=1, 3 coordinate tag columns)
+        import functools as ft
+
+        from jax.experimental import pallas as pl
+
+        from ndtpu.ops.pallas import segment_moments as sm
+        from ndtpu.utils.platform import is_tpu
+
+        block_n, sub_n = sm._block_config(None, args.n)
+        rows = sm._round_up(
+            max(args.k, sub_n + sm._SUBLANE), sm._SUBLANE
+        )
+        b = args.batch
+        n_p = ((args.n + block_n - 1) // block_n) * block_n
+        seg_p = np.full((b, n_p), sm._BIG, np.int32)
+        seg_p[:, :args.n] = seg + (np.arange(b)[:, None] * rows)
+        seg_flat = jnp.asarray(seg_p.reshape(b * n_p))
+
+        def flat(x):
+            out = np.zeros((b, n_p), np.float32)
+            out[:, :args.n] = x
+            return jnp.asarray(out.reshape(b * n_p))
+
+        rngf = np.random.default_rng(2)
+        xt = flat(rngf.normal(size=(b, args.n)).astype(np.float32))
+        yt = flat(rngf.normal(size=(b, args.n)).astype(np.float32))
+        zt = flat(rngf.normal(size=(b, args.n)).astype(np.float32))
+        v = flat(np.ones((b, args.n), np.float32))
+        cls = jnp.asarray(np.zeros((b * n_p,), np.int32))
+        tags = [xt * 0.5 for _ in range(args.n_tags)]
+        n_ops = 6 + args.n_tags
+        f_out = 13 + args.slots + args.n_tags
+        grid = (b * n_p // block_n,)
+
+        def probe_call(kernel_body):
+            return pl.pallas_call(
+                kernel_body,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_n), lambda i: (i, 0, 0))
+                    for _ in range(n_ops)
+                ],
+                out_specs=pl.BlockSpec((b * rows, f_out), lambda i: (0, 0)),
+                out_shape=jax.ShapeDtypeStruct((b * rows, f_out),
+                                               jnp.float32),
+                interpret=not is_tpu(),
+            )
+
+        def empty_body(*refs):
+            out_ref = refs[-1]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+        def noflop_body(*refs):
+            # reads every input block and builds the feature rows on the
+            # VPU, but replaces the one-hot matmul with a row reduce into
+            # a fixed 8-row strip — isolates matmul cost from DMA+VPU
+            seg_ref, xt_ref, yt_ref, zt_ref, v_ref, cls_ref = refs[:6]
+            tag_refs = refs[6:-1]
+            out_ref = refs[-1]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+            for j in range(block_n // sub_n):
+                sl = pl.ds(j * sub_n, sub_n)
+                segv = seg_ref[0, 0, sl]
+                xtv = xt_ref[0, 0, sl]
+                ytv = yt_ref[0, 0, sl]
+                ztv = zt_ref[0, 0, sl]
+                vv = v_ref[0, 0, sl]
+                clsv = cls_ref[0, 0, sl]
+                xx, xy, xz = xtv * xtv, xtv * ytv, xtv * ztv
+                yy, yz, zz = ytv * ytv, ytv * ztv, ztv * ztv
+                row_list = [vv, xtv, ytv, ztv, xx, xy, xz, xy, yy, yz,
+                            xz, yz, zz]
+                for c in range(args.slots):
+                    row_list.append(vv * (clsv == c).astype(jnp.float32))
+                for tr in tag_refs:
+                    row_list.append(tr[0, 0, sl])
+                feats = jnp.stack(row_list, axis=0)  # [F, sub_n]
+                red = jnp.sum(
+                    feats * (segv[None, :] >= 0), axis=1
+                )  # [F], touches every element
+                out_ref[pl.ds(0, sm._SUBLANE), :] += jnp.broadcast_to(
+                    red[None, :], (sm._SUBLANE, f_out)
+                )
+
+        if args.mode == "moments":
+            kern = ft.partial(
+                sm._moments_kernel, block_n=block_n, sub_n=sub_n,
+                rows=b * rows, slots=args.slots, n_tags=args.n_tags,
+                bf16x3=False,
+            )
+        elif args.mode == "moments_noflop":
+            kern = noflop_body
+        else:
+            kern = empty_body
+        call = probe_call(kern)
+
+        def rs(a):
+            return a.reshape(grid[0], 1, block_n)
+
+        def fn(f_unused, s_unused):
+            out = call(
+                rs(seg_flat), rs(xt + jnp.sum(f_unused[:1, :1, :1]) * 1e-20),
+                rs(yt), rs(zt), rs(v), rs(cls), *[rs(t) for t in tags]
+            )
+            return jnp.sum(out[:1])
+
+        print(f"[micro] moments probe: block {block_n} sub {sub_n} "
+              f"grid {grid[0]} rows/el {rows}", file=sys.stderr)
     elif args.mode.startswith("sort"):
         n_ops = int(args.mode[4:])
         keys = jnp.asarray(
