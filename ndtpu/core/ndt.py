@@ -90,21 +90,35 @@ def _min_packable_voxel_size(mins, maxs):
     # max product — term-wise sufficiency then holds with wide margin
     s2 = jnp.sqrt((dx * dy + dx * dz + dy * dz) / b4)
     s1 = (dx + dy + dz) / b4
-    return jnp.maximum(jnp.maximum(s3, s2), s1)
+    return jnp.maximum(
+        jnp.maximum(jnp.maximum(s3, s2), s1), _min_axis_exact_size(d)
+    )
+
+
+def _min_axis_exact_size(d):
+    """Smallest voxel size keeping EVERY axis grid length < 2^24, so a
+    per-axis voxel coordinate is exact as an f32 (24 mantissa bits) — the
+    precondition of the sparse tag columns that carry per-segment coords
+    through the moment reduction (_build_state; ADVICE r3: the packed/pair
+    cell budgets alone admit one axis up to ~2^31 for degenerate
+    near-1-D clouds, where round(tag_sums) would silently corrupt
+    seg_zyx). len_i = ceil(d_i/s) < 2^24  ⟸  s >= d_i / (2^24 - 2)."""
+    return jnp.max(d) / jnp.float32(2.0**24 - 2.0)
 
 
 def _min_pair_packable_voxel_size(mins, maxs):
     """Smallest voxel size for the (zy, x) key PAIR (key_mode="pair"):
     needs len_z*len_y < 2^31 (zy = z*len_y + y packs into one int32) and
-    len_x < 2^31 (always true at any admissible size). Same term-splitting
-    argument as _min_packable_voxel_size in two dimensions:
+    per-axis lengths < 2^24 (f32-exact tag columns, _min_axis_exact_size —
+    this also covers the trivial len_x < 2^31 requirement). Same
+    term-splitting argument as _min_packable_voxel_size in two dimensions:
     len_z*len_y <= dz*dy/s^2 + (dz+dy)/s + 1, each term <= budget/3."""
     d = jnp.maximum(maxs - mins, 0.0)
     dy, dz = d[1], d[2]
     b3 = jnp.float32(_GRID_CELL_BUDGET / 3.0)
     s2 = jnp.sqrt(dz * dy / b3)
     s1 = (dz + dy) / b3
-    return jnp.maximum(s2, s1)
+    return jnp.maximum(jnp.maximum(s2, s1), _min_axis_exact_size(d))
 
 
 class NDTResult(struct.PyTreeNode):
@@ -871,8 +885,9 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
         envelope, and `converged` is False whenever that clamp prevented
         reaching the acceptance band (dense cluster + km-scale outlier).
         "pair" keys voxels with the (zy, x) int32 pair — one extra sort
-        column, exact out to len_z*len_y < 2^31 grids, for clouds where
-        the packed envelope binds.
+        column, exact out to len_z*len_y < 2^31 grids (axes each < 2^24,
+        the f32 tag-column envelope), for clouds where the packed
+        envelope binds.
 
     Returns (pcl [n_desired,3], covs [n_desired,9], labels [n_desired] i32,
     out_mask [n_desired] bool, state: NDTResult).

@@ -381,6 +381,86 @@ def fused_moments_sorted(xt, yt, zt, v, cls, seg_ids, num_segments: int,
               seg_ids.astype(jnp.int32), *tags)
 
 
+def _tags_kernel(seg_ref, *tag_and_out_refs, block_n, sub_n, rows, n_tags):
+    """Tags-only variant of _moments_kernel: contracts just the sparse
+    per-segment tag rows (no coordinate moments, no class histogram) — the
+    light entry the point-sharded distinct-run tables need (ADVICE r3: the
+    previous route through fused_moments_sorted carried 13 dead feature
+    rows and 13 dead output columns per block)."""
+    *tag_refs, out_ref = tag_and_out_refs
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for j in range(block_n // sub_n):
+        sl = pl.ds(j * sub_n, sub_n)
+        seg = seg_ref[0, 0, sl]
+        window = sub_n + _SUBLANE
+        start = jnp.minimum(seg[0], rows - window)
+        start = pl.multiple_of((start // _SUBLANE) * _SUBLANE, _SUBLANE)
+        local = seg - start
+        hit = (
+            jax.lax.broadcasted_iota(jnp.int32, (window, sub_n), 0)
+            == local[None, :]
+        )
+        feats = jnp.stack(
+            [tr[0, 0, sl] for tr in tag_refs], axis=0
+        )  # [n_tags, sub_n], VMEM only
+        contrib = jax.lax.dot_general(
+            hit.astype(jnp.float32), feats,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[pl.ds(start, window), :] += contrib
+
+
+@functools.lru_cache(maxsize=None)
+def _make_tags_fn(num_segments: int, n_tags: int, block_n: int, sub_n: int):
+    rows = _round_up(max(num_segments, sub_n + _SUBLANE), _SUBLANE)
+
+    def f(seg_ids, *tags):
+        seg_p = _pad1(seg_ids, block_n, value=_BIG)
+        tags_p = [_pad1(t, block_n) for t in tags]
+        m = seg_p.shape[0]
+        grid = (m // block_n,)
+
+        def rs(a):
+            return a.reshape(grid[0], 1, block_n)
+
+        out = pl.pallas_call(
+            functools.partial(
+                _tags_kernel, block_n=block_n, sub_n=sub_n, rows=rows,
+                n_tags=n_tags,
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_n), lambda i: (i, 0, 0))
+                for _ in range(1 + n_tags)
+            ],
+            out_specs=pl.BlockSpec((rows, n_tags), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows, n_tags), jnp.float32),
+            interpret=not is_tpu(),
+        )(rs(seg_p), *[rs(t.astype(jnp.float32)) for t in tags_p])
+        return out[:num_segments]
+
+    return f
+
+
+def segment_tags_sorted(seg_ids, tags, num_segments: int,
+                        block_n: int | None = None):
+    """Extract sparse per-segment tag columns (at most one nonzero entry
+    per segment, exact in f32) by dense sorted rank `seg_ids` [N] into
+    [num_segments, len(tags)]. 1-D/unbatched (the point-sharded tables
+    call this per shard inside shard_map); same id contract as
+    segment_sum_sorted."""
+    block_n, sub_n = _block_config(block_n, seg_ids.shape[-1])
+    fn = _make_tags_fn(int(num_segments), len(tags), int(block_n),
+                       int(sub_n))
+    return fn(seg_ids.astype(jnp.int32), *tags)
+
+
 def segment_sum_sorted(feats, seg_ids, num_segments: int,
                        block_n: int | None = None):
     """Segment-sum of `feats` [..., N, F] by dense sorted rank `seg_ids`

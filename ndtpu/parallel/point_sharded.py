@@ -97,13 +97,9 @@ def _distinct_sorted_cols(cols, k_max, use_pallas=False):
     for c in cols:
         tags += _split12(c, new)
     if use_pallas:
-        from ndtpu.ops.pallas.segment_moments import fused_moments_sorted
+        from ndtpu.ops.pallas.segment_moments import segment_tags_sorted
 
-        z = jnp.zeros((n,), jnp.float32)
-        acc = fused_moments_sorted(
-            z, z, z, z, jnp.zeros((n,), jnp.int32), seg, k_max + 1, 0,
-            tags=tuple(tags),
-        )[:k_max, 13:]
+        acc = segment_tags_sorted(seg, tuple(tags), k_max + 1)[:k_max]
     else:
         feats = jnp.stack(tags, axis=1)
         acc = jax.ops.segment_sum(

@@ -137,3 +137,81 @@ def test_fused_moments_batched():
     np.testing.assert_array_equal(
         np.asarray(a["class_hist"]), np.asarray(b["class_hist"])
     )
+
+
+def test_segment_tags_sorted_matches_segment_sum():
+    """The tags-only kernel (point-sharded distinct-run tables) must match
+    jax.ops.segment_sum on sparse tag columns, across sub-block configs."""
+    import os
+
+    import ndtpu.ops.pallas.segment_moments as sm
+    from ndtpu.ops.pallas.segment_moments import segment_tags_sorted
+
+    rng = np.random.default_rng(11)
+    n, k = 2000, 77
+    seg = dense_ranks(n, k, rng)
+    seg[-5:] = k  # dropped sentinels
+    new = np.ones(n, bool)
+    new[1:] = seg[1:] != seg[:-1]
+    t0 = np.where(new, rng.integers(0, 1 << 12, n), 0).astype(np.float32)
+    t1 = np.where(new, rng.integers(0, 1 << 12, n), 0).astype(np.float32)
+    want = np.zeros((k, 2), np.float32)
+    np.add.at(want[:, 0], seg[seg < k], t0[seg < k])
+    np.add.at(want[:, 1], seg[seg < k], t1[seg < k])
+    for blk, sub in [(256, 0), (512, 128), (1024, 256)]:
+        try:
+            os.environ["NDTPU_PALLAS_BLOCK"] = str(blk)
+            os.environ["NDTPU_PALLAS_SUBBLOCK"] = str(sub)
+            sm._make_tags_fn.cache_clear()
+            got = segment_tags_sorted(
+                jnp.asarray(seg), (jnp.asarray(t0), jnp.asarray(t1)), k
+            )
+        finally:
+            os.environ.pop("NDTPU_PALLAS_BLOCK", None)
+            os.environ.pop("NDTPU_PALLAS_SUBBLOCK", None)
+            sm._make_tags_fn.cache_clear()
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=f"{blk}/{sub}")
+
+
+def test_fused_moments_subblock_matches_whole_block():
+    """Sub-blocked contraction must agree with whole-block: counts (and
+    any sparse-tag extraction) are exact; float sums may differ in low
+    bits because sub-blocking re-associates the within-segment reduction
+    (the same effect block boundaries already have)."""
+    import os
+
+    import ndtpu.ops.pallas.segment_moments as sm
+    from ndtpu.core.moments import segment_moments_soa
+
+    rng = np.random.default_rng(5)
+    n, k = 3000, 99
+    seg = dense_ranks(n, k, rng)
+    v = np.ones(n, np.float32)
+    xt = rng.normal(size=n).astype(np.float32)
+    yt = rng.normal(size=n).astype(np.float32)
+    zt = rng.normal(size=n).astype(np.float32)
+
+    def run(blk, sub):
+        try:
+            os.environ["NDTPU_PALLAS_BLOCK"] = str(blk)
+            os.environ["NDTPU_PALLAS_SUBBLOCK"] = str(sub)
+            sm._make_moments_fn.cache_clear()
+            return segment_moments_soa(
+                jnp.asarray(xt), jnp.asarray(yt), jnp.asarray(zt),
+                jnp.asarray(v), jnp.asarray(seg), k, use_pallas=True,
+            )
+        finally:
+            os.environ.pop("NDTPU_PALLAS_BLOCK", None)
+            os.environ.pop("NDTPU_PALLAS_SUBBLOCK", None)
+            sm._make_moments_fn.cache_clear()
+
+    whole = run(512, 0)
+    subbed = run(512, 128)
+    np.testing.assert_array_equal(
+        np.asarray(whole["counts"]), np.asarray(subbed["counts"])
+    )
+    for key in ("sum_shift", "sum_outer"):
+        np.testing.assert_allclose(
+            np.asarray(whole[key]), np.asarray(subbed[key]),
+            atol=1e-4, err_msg=key,
+        )
