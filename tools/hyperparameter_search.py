@@ -18,14 +18,19 @@ import numpy as np
 import optax
 
 from tools._common import make_dataset
+from tools.train import run_epoch
 from ndtpu.data.loader import batch_iterator, prefetch_to_device
 from ndtpu.models import NDTNetSegmentation
+from ndtpu.parallel.mesh import batch_sharding, make_data_mesh, replicate
 from ndtpu.train.loop import make_ndt_seg_step
 from ndtpu.train.state import create_train_state
+from ndtpu.utils.platform import is_tpu
 
 
 def objective_factory(args):
-    train_set = make_dataset(args.n_classes, args.n_samples, args.train_path)
+    train_set = make_dataset(args.n_classes, args.n_samples, args.train_path,
+                             int_labels=True)
+    use_pallas = is_tpu() if args.use_pallas is None else args.use_pallas
 
     def objective(optimizer_name: str, batch_size: int, lr: float) -> float:
         if optimizer_name == "Adam":
@@ -41,14 +46,27 @@ def objective_factory(args):
             jnp.zeros((batch_size, args.n_desired_nds, 9)),
             init_kwargs={"train": False},
         )
-        step_fn, _ = make_ndt_seg_step(args.n_desired_nds, args.n_classes)
+        # trials run the PRODUCTION step (mesh + fast search + pallas, as
+        # tools/train.py compiles it) with run_epoch's on-device metric
+        # accumulation — one host readback per epoch, not per batch
+        # (VERDICT r3 #7: a per-step float() costs a ~25 ms tunnel round
+        # trip against a ~12 ms step on the target hardware)
+        mesh = make_data_mesh(batch_size, "data")
+        step_fn, _ = make_ndt_seg_step(
+            args.n_desired_nds, args.n_classes, use_pallas, args.search,
+            mesh, "data",
+        )
+        state = replicate(mesh, state)
+        sharding = batch_sharding(mesh, "data")
         loss = float("inf")
         for epoch in range(args.epochs):  # 10-epoch budget (reference :84)
-            for batch in prefetch_to_device(
-                batch_iterator(train_set, batch_size, shuffle=True, seed=epoch)
-            ):
-                state, metrics = step_fn(state, *batch)
-                loss = float(metrics["loss"])
+            loader = prefetch_to_device(
+                batch_iterator(train_set, batch_size, shuffle=True,
+                               seed=epoch),
+                sharding,
+            )
+            state, m = run_epoch(step_fn, state, loader, train=True)
+            loss = m["last_loss"]  # the reference's final-batch loss metric
         return loss
 
     return objective
@@ -64,6 +82,10 @@ def main():
     p.add_argument("--n_trials", type=int, default=10)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--search", type=str, default="fast",
+                   choices=["fast", "reference", "grid"])
+    p.add_argument("--use_pallas", action="store_true", default=None)
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     args = p.parse_args()
 
     objective = objective_factory(args)
