@@ -116,3 +116,58 @@ def export_residual_connection(variables, t_res):
         variables["batch_stats"]["BatchNorm_0"],
     )
     return t_res
+
+
+def _export_residual_subtree(params, stats, t_res):
+    export_residual_connection(
+        {"params": params, "batch_stats": stats}, t_res
+    )
+
+
+def _export_ndtnetpp_extractor(params, stats, t_pp):
+    """flax NDTNetPP subtrees -> torch `ndnet` extractor (inverse of
+    torch_weights.map_ndtnetpp_extractor)."""
+    export_backbone(params["NDTNet_0"], stats["NDTNet_0"], t_pp.ndtnet1)
+    export_backbone(params["NDTNet_1"], stats["NDTNet_1"], t_pp.ndtnet2)
+    _export_residual_subtree(
+        params["ResidualConnection_0"], stats["ResidualConnection_0"],
+        t_pp.residual,
+    )
+    _set_conv(t_pp.conv1, params["Dense_0"])
+    _set_bn(t_pp.bn1, params["BatchNorm_0"], stats["BatchNorm_0"])
+
+
+def export_ndtnetpp_segmentation(variables, t_model):
+    """flax NDTNetPPSegmentation variables -> torch ndnetSegmentation
+    instance (in place; use the patched loader to construct it). The
+    shipped state_dict targets a bug-patched reference deployment — the
+    verbatim reference multiscale classes cannot run (SURVEY.md §2.4)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    _export_ndtnetpp_extractor(
+        params["NDTNetPP_0"], stats["NDTNetPP_0"], t_model.ndnet
+    )
+    _export_residual_subtree(
+        params["ResidualConnection_0"], stats["ResidualConnection_0"],
+        t_model.residual,
+    )
+    for i, c in enumerate(
+        [t_model.conv1, t_model.conv2, t_model.conv3, t_model.conv4]
+    ):
+        _set_conv(c, params[f"Dense_{i}"])
+    for i, b in enumerate([t_model.bn1, t_model.bn2, t_model.bn3]):
+        _set_bn(b, params[f"BatchNorm_{i}"], stats[f"BatchNorm_{i}"])
+    return t_model
+
+
+def export_ndtnetpp_classification(variables, t_model):
+    """flax NDTNetPPClassification variables -> torch ndnetClassification
+    (patched loader required: `super().__init()` typo)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    _export_ndtnetpp_extractor(
+        params["NDTNetPP_0"], stats["NDTNetPP_0"], t_model.feature_extractor
+    )
+    for i, c in enumerate([t_model.conv1, t_model.conv2, t_model.conv3]):
+        _set_conv(c, params[f"Dense_{i}"])
+    return t_model

@@ -15,10 +15,43 @@ import types
 
 DEFAULT_REF = "/root/reference/ndnet/models"
 
+# Minimal source patches that make the reference's multiscale module
+# *instantiable/callable* — each reverses one documented latent bug
+# (SURVEY.md §2.4) without touching any working code path:
+#   1. ndtnetpp.py:44-53 — a dead duplicate `forward` (docstring only,
+#      returns None) OVERRIDES ResidualConnection's real forward; rename
+#      the duplicate so the real one is reachable.
+#   2. ndtnetpp.py:143 — `super().__init()` typo makes ndnetClassification
+#      unconstructible.
+_SOURCE_PATCHES = {
+    "ndtnetpp": [
+        # (old, new, expected occurrence count of old)
+        ("super().__init()", "super().__init__()", 1),
+    ],
+}
 
-def load_reference_module(name: str, models_dir: str = DEFAULT_REF):
+
+def _patch_duplicate_forward(src: str) -> str:
+    """Rename the SECOND `def forward` of ResidualConnection (the dead
+    duplicate, ndtnetpp.py:44-53) so the first, real one binds."""
+    sig = "def forward(self, x: torch.Tensor) -> torch.Tensor:"
+    first = src.index(sig)
+    second = src.index(sig, first + 1)
+    return src[:second] + src[second:].replace(
+        sig, "def _dead_duplicate_forward(self, x):", 1
+    )
+
+
+def load_reference_module(name: str, models_dir: str = DEFAULT_REF,
+                          patched: bool = False):
     """Import reference model module `name` (e.g. "ndtnet") with the
-    ndt_legacy ctypes import stubbed. Returns the module object."""
+    ndt_legacy ctypes import stubbed. Returns the module object.
+
+    patched=True applies the documented minimal bug patches
+    (_SOURCE_PATCHES) so otherwise-unconstructible reference classes (the
+    multiscale family) can be instantiated for weight interop; the
+    patched module is registered under a distinct name and never shadows
+    the verbatim import."""
     root = models_dir.rsplit("/ndnet/", 1)[0]
     if "ndnet" not in sys.modules:
         pkg = types.ModuleType("ndnet")
@@ -33,10 +66,25 @@ def load_reference_module(name: str, models_dir: str = DEFAULT_REF):
         models = types.ModuleType("ndnet.models")
         models.__path__ = [models_dir]
         sys.modules["ndnet.models"] = models
-    full = f"ndnet.models.{name}"
+    full = f"ndnet.models.{name}" + ("__patched" if patched else "")
     if full in sys.modules:
         return sys.modules[full]
-    spec = importlib.util.spec_from_file_location(full, f"{models_dir}/{name}.py")
+    path = f"{models_dir}/{name}.py"
+    if patched:
+        with open(path) as fh:
+            src = fh.read()
+        if name == "ndtnetpp":
+            src = _patch_duplicate_forward(src)
+        for old, new, count in _SOURCE_PATCHES.get(name, ()):
+            assert src.count(old) == count, (name, old)
+            src = src.replace(old, new)
+        mod = types.ModuleType(full)
+        mod.__file__ = path
+        mod.__package__ = "ndnet.models"
+        sys.modules[full] = mod
+        exec(compile(src, path, "exec"), mod.__dict__)
+        return mod
+    spec = importlib.util.spec_from_file_location(full, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[full] = mod
     spec.loader.exec_module(mod)

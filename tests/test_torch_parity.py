@@ -276,3 +276,151 @@ def test_export_roundtrip_pointnet_classification():
     )
     with torch.no_grad():
         np.testing.assert_array_equal(t2np(t_src(pts)), t2np(t_dst(pts)))
+
+
+def _ndtnet_intent_forward(net, points, covs, features=None):
+    """Reference NDTNet forward (ndtnet.py:112-164) driven through the
+    torch submodules, generalized to the FEATURE_VECTOR intent: rotate
+    only the 9 covariance dims by t (the verbatim forward views the whole
+    extra block as 3x3 — a documented shape bug, SURVEY.md §2.4). For
+    COVARIANCES inputs this is exactly the reference forward."""
+    b, n, _ = points.shape
+    x = points.transpose(2, 1)                       # [B, 3, N]
+    t = net.t1(x)                                    # [B, 3, 3]
+    p = torch.bmm(t, x).transpose(2, 1)              # [B, N, 3]
+    cov = covs.view(b, n, 3, 3)
+    cov = torch.matmul(t.unsqueeze(1), cov).view(b, n, 9)
+    parts = [p, cov] + ([features] if features is not None else [])
+    x = torch.cat(parts, dim=2).transpose(2, 1)      # [B, 3+9(+F), N]
+    x = net.bn1(net.conv1(x))
+    t2 = net.t2(x)
+    x = torch.bmm(x.transpose(2, 1), t2).transpose(2, 1)
+    x_t2 = x
+    x = net.bn2(net.conv2(x))
+    x = net.bn3(net.conv3(x))
+    return x, x_t2                                   # [B, F, N], [B, 64, N]
+
+
+def _ndtnetpp_extractor_intent(pp, points1, covs1, down1, downcov1,
+                               points2, covs2, feature_dim):
+    """Reference `ndnet` forward (ndtnetpp.py:87-134) with its documented
+    bugs fixed the same way ndtpu.models.ndtnetpp fixes them: 2-tuple
+    unpacked (:124), branch-2 feature block completed with zeros, the
+    feature concat in [B, N, C] layout (:117's dim=1 concat mixes the
+    points axis)."""
+    feat1, _ = _ndtnet_intent_forward(pp.ndtnet1, points1, covs1)
+    feat1_ = pp.residual(feat1)                      # [B, F, N2]
+    f1, _ = _ndtnet_intent_forward(
+        pp.ndtnet2, down1, downcov1, feat1_.transpose(2, 1)
+    )
+    zeros = torch.zeros(points2.shape[0], points2.shape[1], feature_dim)
+    f2, _ = _ndtnet_intent_forward(pp.ndtnet2, points2, covs2, zeros)
+    feat = pp.bn1(pp.conv1(f1 + f2))                 # [B, F, N2]
+    return feat, feat1
+
+
+def _make_multiscale_inputs(fine, coarse, seed=5):
+    import jax
+    import jax.numpy as jnp
+
+    from ndtpu.core.ndt import ndt_prune
+    from ndtpu.preprocessing.batch import ndt_preprocessing_with_state
+
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32) * 2.0)
+    p1, c1, _, _, st1 = ndt_preprocessing_with_state(fine, pts, None, 0)
+    p2, c2, _, _, _ = ndt_preprocessing_with_state(coarse, pts, None, 0)
+    down1, downcov1, _, _ = jax.vmap(
+        lambda s: ndt_prune(s, coarse)
+    )(st1)
+    return p1, c1, st1, p2, c2, down1, downcov1
+
+
+@pytest.mark.slow
+def test_ndtnetpp_segmentation_parity():
+    """Whole-model multiscale parity: the mapped flax NDTNetPPSegmentation
+    must match the bug-patched reference driven on identical tensors
+    (incl. the identical on-device prune outputs). This is the interop
+    path for the model family the verbatim reference cannot run at all."""
+    from ndtpu.interop import map_ndtnetpp_segmentation
+
+    ref = load_reference_module("ndtnetpp", REF, patched=True)
+    fine, coarse, fdim, ncls = 12, 6, 32, 4
+    torch.manual_seed(7)
+    t_model = ref.ndnetSegmentation(
+        point_dim=3, num_classes=ncls, fine_res=fine, coarse_res=coarse,
+        feature_dim=fdim,
+    ).eval()
+
+    import jax.numpy as jnp
+
+    from ndtpu.models import NDTNetPPSegmentation
+
+    variables = map_ndtnetpp_segmentation(t_model)
+    p1, c1, st1, p2, c2, down1, downcov1 = _make_multiscale_inputs(
+        fine, coarse
+    )
+
+    j_out = np.asarray(
+        NDTNetPPSegmentation(
+            num_classes=ncls, fine_res=fine, coarse_res=coarse,
+            feature_dim=fdim,
+        ).apply(variables, p1, c1, st1, p2, c2, train=False)
+    )
+
+    with torch.no_grad():
+        tp1 = torch.tensor(np.asarray(p1))
+        tc1 = torch.tensor(np.asarray(c1))
+        tp2 = torch.tensor(np.asarray(p2))
+        tc2 = torch.tensor(np.asarray(c2))
+        td1 = torch.tensor(np.asarray(down1))
+        tdc1 = torch.tensor(np.asarray(downcov1))
+        x, x1 = _ndtnetpp_extractor_intent(
+            t_model.ndnet, tp1, tc1, td1, tdc1, tp2, tc2, fdim
+        )
+        x = t_model.residual(x)                      # [B, F, N1]
+        x = x + x1
+        import torch.nn.functional as F
+        x = F.relu(t_model.bn1(t_model.conv1(x)))
+        x = F.relu(t_model.bn2(t_model.conv2(x)))
+        x = F.relu(t_model.bn3(t_model.conv3(x)))
+        x = F.softmax(t_model.conv4(x), dim=1).transpose(1, 2)
+        t_out = t2np(x)                              # [B, N1, C+1]
+
+    np.testing.assert_allclose(j_out, t_out, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_ndtnetpp_classification_parity_and_export_roundtrip():
+    """Classification map (needs the patched `super().__init__`) + export
+    round trip: flax -> torch -> flax reproduces the variables exactly."""
+    import jax
+
+    from ndtpu.interop import (
+        export_ndtnetpp_classification,
+        map_ndtnetpp_classification,
+    )
+
+    ref = load_reference_module("ndtnetpp", REF, patched=True)
+    fine, coarse, fdim, ncls = 12, 6, 32, 4
+    torch.manual_seed(9)
+    t_model = ref.ndnetClassification(
+        point_dim=3, num_classes=ncls, fine_res=fine, coarse_res=coarse,
+        feature_dim=fdim,
+    ).eval()
+    variables = map_ndtnetpp_classification(t_model)
+
+    torch.manual_seed(11)  # different init to prove the export overwrites
+    t_fresh = ref.ndnetClassification(
+        point_dim=3, num_classes=ncls, fine_res=fine, coarse_res=coarse,
+        feature_dim=fdim,
+    ).eval()
+    export_ndtnetpp_classification(variables, t_fresh)
+    roundtrip = map_ndtnetpp_classification(t_fresh)
+    key = lambda item: str(item[0])  # noqa: E731
+    for (pa, a), (pb, bb) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(variables)[0], key=key),
+        sorted(jax.tree_util.tree_flatten_with_path(roundtrip)[0], key=key),
+    ):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
