@@ -57,6 +57,9 @@ class TrainConfig:
     streaming: bool = False
     data_axis: str = "data"
     seed: int = 0
+    # length of the synthetic fallback datasets (when no --train_path):
+    # clouds per split — sets steps/epoch for trainer-throughput sessions
+    synthetic_length: int = 32
     steps_per_epoch: Optional[int] = None  # derived from dataset when None
 
     # multi-host (jax.distributed.initialize; SURVEY.md §2.3 DP row).

@@ -158,10 +158,13 @@ def main():
         test_set = make_cls_dataset(cfg, "test", 2)
     else:
         train_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.train_path,
+                                 synthetic_length=cfg.synthetic_length,
                                  seed=0, int_labels=cfg.int_labels)
         val_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.val_path,
+                               synthetic_length=cfg.synthetic_length,
                                seed=1, int_labels=cfg.int_labels)
         test_set = make_dataset(cfg.n_classes, cfg.n_samples, cfg.test_path,
+                                synthetic_length=cfg.synthetic_length,
                                 seed=2, int_labels=cfg.int_labels)
         if cfg.streaming:
             # streaming regime: search voxel sizes once, train with them
@@ -229,10 +232,18 @@ def main():
             sharding,
         )
 
+    import time as _time
+
     for epoch in range(cfg.epochs):
+        t_ep = _time.perf_counter()
         loader = make_loader(train_set, shuffle=True, seed=epoch)
         state, m = run_epoch(step_fn, state, loader, train=True)
-        logger.log({f"train_{k}": v for k, v in m.items()}, step=epoch + 1)
+        ep_s = _time.perf_counter() - t_ep
+        clouds = steps_per_epoch * cfg.batch_size
+        logger.log({**{f"train_{k}": v for k, v in m.items()},
+                    "epoch_seconds": round(ep_s, 3),
+                    "clouds_per_s": round(clouds / max(ep_s, 1e-9), 2)},
+                   step=epoch + 1)
 
         loader = make_loader(val_set, shuffle=False)
         _, m = run_epoch(eval_fn, state, loader, train=False)
