@@ -104,7 +104,7 @@ def make_torch_models(task, n_classes, feature_dim, seed):
 
 def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
                 batch, lr, loss_mode, eval_every=0, wide_d=None,
-                labels_wide=None):
+                labels_wide=None, bn_frozen=False, f64=False):
     """Train the reference model on the preprocessed tensors; returns the
     per-epoch accuracy/loss curves + final test accuracy (train.py:84-87
     metric). eval_every=K also records test accuracy every K epochs
@@ -114,16 +114,21 @@ def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
     import torch
     import torch.nn.functional as F
 
+    if f64:
+        t_model.double()
     opt = torch.optim.Adam(t_model.parameters(), lr=lr)
+    dt = torch.float64 if f64 else torch.float32
 
     def tensors(d, idx):
-        return (torch.tensor(d["pcl"][idx]), torch.tensor(d["covs"][idx]),
-                torch.tensor(d["gt"][idx]), torch.tensor(d["mask"][idx]))
+        return (torch.tensor(d["pcl"][idx], dtype=dt),
+                torch.tensor(d["covs"][idx], dtype=dt),
+                torch.tensor(d["gt"][idx], dtype=dt),
+                torch.tensor(d["mask"][idx], dtype=dt))
 
     def loss_and_acc(out, gt, mask, labels):
         if task == "classification":
             probs = out[:, :, 0]
-            onehot = F.one_hot(labels, probs.shape[1]).float()
+            onehot = F.one_hot(labels, probs.shape[1]).to(dt)
             loss = -(onehot * torch.log(probs + 1e-9)).sum(1).mean()
             acc = (probs.argmax(1) == labels).float().mean()
         else:
@@ -150,9 +155,19 @@ def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
             _, test_acc = loss_and_acc(out, gt, mask, lab)
         return float(test_acc)
 
+    def set_train_mode():
+        t_model.train()
+        if bn_frozen:
+            # BN-frozen control: weights train, but normalization uses the
+            # (initial) running stats and the stats never update — isolates
+            # BN train-mode dynamics as a bifurcation source
+            for mod in t_model.modules():
+                if isinstance(mod, torch.nn.modules.batchnorm._BatchNorm):
+                    mod.eval()
+
     curve, loss_curve, test_curve = [], [], []
     for ep, perm in enumerate(perms):
-        t_model.train()
+        set_train_mode()
         ep_acc, ep_loss = [], []
         for i in range(0, len(perm) - batch + 1, batch):
             idx = perm[i:i + batch]
@@ -179,7 +194,7 @@ def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
 
 def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
                 perms, batch, lr, n_classes, feature_dim, eval_every=0,
-                wide_d=None, labels_wide=None):
+                wide_d=None, labels_wide=None, bn_frozen=False, f64=False):
     """Train the flax twin from the SAME transplanted init, same schedule."""
     import jax
     import jax.numpy as jnp
@@ -189,12 +204,17 @@ def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
     from ndtpu.train import TrainState
     from ndtpu.train.loop import accuracy, cross_entropy_loss
 
+    dt = jnp.float64 if f64 else jnp.float32
+    kw = dict(num_classes=n_classes, feature_dim=feature_dim,
+              dtype=dt, param_dtype=dt)
     if task == "classification":
-        model = NDTNetClassification(num_classes=n_classes,
-                                     feature_dim=feature_dim)
+        model = NDTNetClassification(**kw)
     else:
-        model = NDTNetSegmentation(num_classes=n_classes,
-                                   feature_dim=feature_dim)
+        model = NDTNetSegmentation(**kw)
+    if f64:
+        variables = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.float64), variables
+        )
     tx = optax.adam(lr)  # torch Adam defaults: b1 .9, b2 .999, eps 1e-8
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -208,14 +228,24 @@ def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
     @jax.jit
     def step(state, pcl, covs, target, mask):
         def loss_fn(params):
-            logits, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                pcl, covs, train=True, return_logits=True,
-                mutable=["batch_stats"],
-            )
+            if bn_frozen:
+                # BN-frozen control (see train_torch): normalize with the
+                # fixed transplanted running stats, never update them
+                logits = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    pcl, covs, train=False, return_logits=True,
+                )
+                new_bs = state.batch_stats
+            else:
+                logits, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    pcl, covs, train=True, return_logits=True,
+                    mutable=["batch_stats"],
+                )
+                new_bs = mutated["batch_stats"]
             m = mask if task == "segmentation" else None
             loss = cross_entropy_loss(logits, target, m)
-            return loss, (logits, mutated["batch_stats"])
+            return loss, (logits, new_bs)
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -308,6 +338,17 @@ def main():
                          "--perturb_init noise (perturbing torch is the "
                          "reverse control: does the reference also leave "
                          "its basin under a microscopic nudge?)")
+    ap.add_argument("--bn_frozen", action="store_true",
+                    help="seed-0 diagnosis control: train weights with "
+                         "BatchNorm normalization frozen at the "
+                         "transplanted running stats on BOTH sides — "
+                         "isolates BN train-mode dynamics as the "
+                         "bifurcation source")
+    ap.add_argument("--precision", default="f32", choices=["f32", "f64"],
+                    help="seed-0 diagnosis control: run BOTH frameworks in "
+                         "float64 — if the f32 bifurcation disappears, the "
+                         "divergence is rounding-triggered chaos, not a "
+                         "framework difference")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -362,10 +403,19 @@ def main():
     rng = np.random.default_rng(args.seed + 13)
     perms = [rng.permutation(args.train_size) for _ in range(args.epochs)]
 
+    if args.precision == "f64":
+        # enable AFTER the (int32-keyed) NDT preprocessing ran: x64 mode
+        # promotes the pipeline's int arithmetic and breaks its compiled
+        # carries; only the TRAINING math needs f64 for this control
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
     j_curve, j_test, j_loss, j_testc, j_wide = train_ndtpu(
         variables, args.task, train_d, test_d, tr_lab, te_lab, perms,
         args.batch_size, args.lr, n_classes, args.feature_dim,
         args.eval_every, wide_d, te_lab_wide,
+        args.bn_frozen, args.precision == "f64",
     )
     print(f"[parity] ndtpu trained ({time.time() - t0:.1f}s): "
           f"final train acc {j_curve[-1]:.4f}, test acc {j_test:.4f}"
@@ -375,6 +425,7 @@ def main():
         t_model, args.task, train_d, test_d, tr_lab, te_lab, perms,
         args.batch_size, args.lr, args.torch_loss, args.eval_every,
         wide_d, te_lab_wide,
+        args.bn_frozen, args.precision == "f64",
     )
     print(f"[parity] torch reference trained ({time.time() - t0:.1f}s): "
           f"final train acc {t_curve[-1]:.4f}, test acc {t_test:.4f}"
@@ -398,6 +449,8 @@ def main():
                             "train_loss_curve": t_loss, "test_curve": t_testc,
                             "test_accuracy_wide": t_wide},
         "wide_test_size": args.wide_test_size,
+        "bn_frozen": args.bn_frozen,
+        "precision": args.precision,
         "parity": j_test >= t_test - 0.02,
         "wall_s": round(time.time() - t0, 1),
     }
