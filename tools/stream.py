@@ -80,9 +80,20 @@ def main():
                         "each frame's NDs")
     p.add_argument("--search", type=str, default="fast",
                    choices=["fast", "reference", "grid"])
+    p.add_argument("--mode", type=str, default="warm",
+                   choices=["warm", "fixed"],
+                   help="'warm' (default): each frame seeds the fast "
+                        "search with the previous frame's accepted size — "
+                        "the band is enforced IN-GRAPH, so a drifted frame "
+                        "self-heals within its own step (steady state = "
+                        "one voxelization). 'fixed': the r3 regime — "
+                        "fixed size + host-side band monitor; an "
+                        "out-of-band frame emits a degraded count and the "
+                        "re-search happens one frame late")
     p.add_argument("--research_every", type=int, default=0,
                    help="force a full voxel-size re-search every K frames "
-                        "(0 = only when the count drifts out of band)")
+                        "(0 = only when the count drifts out of band; "
+                        "--mode fixed only)")
     p.add_argument("--out_dir", type=str, default=None,
                    help="write each frame's NDs as a colored PLY here")
     args = p.parse_args()
@@ -115,8 +126,12 @@ def main():
     def fixed(pts, size):
         return ndt_downsample(pts, M, fixed_voxel_size=size)
 
+    def warm(pts, size):
+        return ndt_downsample(pts, M, search="fast", warm_start_size=size)
+
     searched_j = jax.jit(searched)
     fixed_j = jax.jit(fixed)
+    warm_j = jax.jit(warm)
 
     if model is not None:
         @jax.jit
@@ -138,11 +153,16 @@ def main():
         pts_d = jnp.asarray(pts)
         force = args.research_every and i % args.research_every == 0
         t0 = time.perf_counter()
-        if size is None or force:
+        if size is None or (force and args.mode == "fixed"):
             pcl, covs, labels, mask, state = searched_j(pts_d)
             size = state.voxel_size
             n_search += 1
             mode = "search"
+        elif args.mode == "warm":
+            pcl, covs, labels, mask, state = warm_j(pts_d, size)
+            size = state.voxel_size  # thread the accepted size forward
+            n_fixed += 1
+            mode = "warm"
         else:
             pcl, covs, labels, mask, state = fixed_j(pts_d, size)
             n_fixed += 1
@@ -153,7 +173,7 @@ def main():
         frame_times.append(t_frame)
 
         in_band = M <= valid <= upper
-        if not in_band:
+        if not in_band and args.mode == "fixed":
             size = None  # drifted out of the acceptance band: re-search
         if model is not None:
             pred = np.asarray(infer(pcl, covs))
