@@ -127,55 +127,50 @@ def neighbor_min_kl(means, covs, counts, zyx, lens):
     z, y, x = zyx[:, 0], zyx[:, 1], zyx[:, 2]
     idx = jnp.arange(k, dtype=jnp.int32)
 
-    # Sorts on this backend are stage-latency-bound, not width-bound
-    # (BASELINE.md sort-scaling measurement: a G-row sort costs the same as
-    # a 1-row sort at these K), so the ±y and ±z reorderings ride ONE
-    # two-row fused sort and their inverse permutations ONE two-row
-    # argsort — 4 sequential K-row sort stages collapsed into 2.
-    majors2 = jnp.stack([_pack_pair(z, x, lens[0]),
-                         _pack_pair(y, x, lens[0])])
-    minors2 = jnp.stack([y, z])
-    idx2 = jnp.broadcast_to(idx, (2, k))
-    maj_s, min_s, perm2 = jax.lax.sort(
-        (majors2, minors2, idx2), dimension=1, num_keys=3
-    )
-    inv2 = jnp.argsort(perm2, axis=1).astype(jnp.int32)
+    def axis_contrib(major, minor, perm):
+        """Adjacent-row pairs in one sorted order.
 
-    # stack the three adjacency structures (axis 0 = x, y, z); the ±x
-    # order is the input's own (z, y, x) lexicographic sort, so its
-    # permutation and inverse are both the identity
-    major_all = jnp.concatenate([_pack_pair(z, y, lens[1])[None], maj_s])
-    minor_all = jnp.concatenate([x[None], min_s])
-    perm_all = jnp.concatenate([idx2[:1], perm2])
-    inv_all = jnp.concatenate([idx2[:1], inv2])
+        major/minor: the sorted packed key and the fastest-varying coord;
+        perm: segment id per sorted row. Pair i = (perm[i], perm[i+1]) is a
+        real grid neighbor iff majors match and minors differ by one. Each
+        ordered direction is one gaussian_kl; contributions land back in
+        segment space by inverse-permutation *gather* (no scatter).
+        """
+        adj = (
+            (major[:-1] == major[1:])
+            & (major[:-1] != _INT32_MAX)
+            & (minor[1:] == minor[:-1] + 1)
+        )
+        a, b = perm[:-1], perm[1:]
+        # sample gating: both sides need > 1 sample (kullback_leibler.c:42-45)
+        ok = adj & (counts[a] > 1) & (counts[b] > 1)
+        kl_ab, def_ab = gaussian_kl(means[a], covs[a], means[b], covs[b])
+        kl_ba, def_ba = gaussian_kl(means[b], covs[b], means[a], covs[a])
+        ok_ab = ok & def_ab
+        ok_ba = ok & def_ba
+        inf = jnp.float32(jnp.inf)
+        # sorted-row i's segment perm[i] sees pair i as p (forward) and
+        # pair i-1 as p (backward)
+        mn = jnp.minimum(
+            jnp.concatenate([jnp.where(ok_ab, kl_ab, inf), inf[None]]),
+            jnp.concatenate([inf[None], jnp.where(ok_ba, kl_ba, inf)]),
+        )
+        mx = jnp.maximum(
+            jnp.concatenate([jnp.where(ok_ab, kl_ab, -inf), -inf[None]]),
+            jnp.concatenate([-inf[None], jnp.where(ok_ba, kl_ba, -inf)]),
+        )
+        inv = jnp.argsort(perm).astype(jnp.int32)  # segment -> sorted row
+        return mn[inv], mx[inv]
 
-    # pair i = (perm[i], perm[i+1]) is a real grid neighbor iff the major
-    # keys match and the minor coords differ by one; both KL directions of
-    # all three axes evaluate as one batched [3, K-1] gaussian_kl
-    adj = (
-        (major_all[:, :-1] == major_all[:, 1:])
-        & (major_all[:, :-1] != _INT32_MAX)
-        & (minor_all[:, 1:] == minor_all[:, :-1] + 1)
-    )
-    a, b = perm_all[:, :-1], perm_all[:, 1:]
-    # sample gating: both sides need > 1 sample (kullback_leibler.c:42-45)
-    ok = adj & (counts[a] > 1) & (counts[b] > 1)
-    kl_ab, def_ab = gaussian_kl(means[a], covs[a], means[b], covs[b])
-    kl_ba, def_ba = gaussian_kl(means[b], covs[b], means[a], covs[a])
-    ok_ab = ok & def_ab
-    ok_ba = ok & def_ba
-    inf = jnp.full((3, 1), jnp.inf, jnp.float32)
-    # sorted-row i's segment perm[i] sees pair i as p (forward) and pair
-    # i-1 as p (backward); contributions land back in segment space by
-    # inverse-permutation *gather* (no scatter)
-    mn = jnp.minimum(
-        jnp.concatenate([jnp.where(ok_ab, kl_ab, inf), inf], axis=1),
-        jnp.concatenate([inf, jnp.where(ok_ba, kl_ba, inf)], axis=1),
-    )
-    mx = jnp.maximum(
-        jnp.concatenate([jnp.where(ok_ab, kl_ab, -inf), -inf], axis=1),
-        jnp.concatenate([-inf, jnp.where(ok_ba, kl_ba, -inf)], axis=1),
-    )
-    mn_seg = jnp.take_along_axis(mn, inv_all, axis=1)
-    mx_seg = jnp.take_along_axis(mx, inv_all, axis=1)
-    return jnp.min(mn_seg, axis=0), jnp.max(mx_seg, axis=0)
+    # ±x: rows already sorted by (z, y, x) — adjacency is free
+    mn_x, mx_x = axis_contrib(_pack_pair(z, y, lens[1]), x, idx)
+    # ±y: re-sort by (z, x, y); idx is both tie-break key and payload
+    zx, ys, py = jax.lax.sort((_pack_pair(z, x, lens[0]), y, idx), num_keys=3)
+    mn_y, mx_y = axis_contrib(zx, ys, py)
+    # ±z: re-sort by (y, x, z)
+    yx, zs, pz = jax.lax.sort((_pack_pair(y, x, lens[0]), z, idx), num_keys=3)
+    mn_z, mx_z = axis_contrib(yx, zs, pz)
+
+    min_kl = jnp.minimum(jnp.minimum(mn_x, mn_y), mn_z)
+    max_kl = jnp.maximum(jnp.maximum(mx_x, mx_y), mx_z)
+    return min_kl, max_kl
