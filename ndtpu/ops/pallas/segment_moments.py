@@ -350,10 +350,15 @@ def _block_config(block_n, n):
     sub_n must divide block_n; a non-divisor falls back to block_n."""
     import os
 
+    # defaults from the r4 TPU sweep (BASELINE.md): the whole-block kernel
+    # is grid-step-overhead-bound (probe trio: full 1.18 / no-matmul 1.09 /
+    # empty 0.66 ms at block 256 on the 1.12M-point canonical batch), so
+    # big DMA blocks + small matmul windows win — 2048/128 measured 0.6 ms
+    # faster end-to-end than the r3 256/whole-block default
     if block_n is None:
-        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "256"))
+        block_n = int(os.environ.get("NDTPU_PALLAS_BLOCK", "2048"))
     block_n = min(block_n, max(_SUBLANE, _round_up(n, _SUBLANE)))
-    sub_n = int(os.environ.get("NDTPU_PALLAS_SUBBLOCK", "0")) or block_n
+    sub_n = int(os.environ.get("NDTPU_PALLAS_SUBBLOCK", "128")) or block_n
     sub_n = min(sub_n, block_n)
     if block_n % sub_n:
         sub_n = block_n
