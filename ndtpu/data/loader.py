@@ -59,6 +59,32 @@ def batch_iterator(dataset, batch_size: int, shuffle: bool = True,
             )
 
 
+class CachedDataset:
+    """In-memory sample cache around an indexable dataset.
+
+    The r4 TPU training session (BASELINE.md) measured the trainer
+    host-bound on dataset __getitem__: synthetic generation (and the
+    reference's PLY text parsing, CARLA_Seg.py:97-137) re-runs for every
+    sample every epoch, costing seconds per epoch against ~50 ms of
+    device compute. Samples are deterministic per index, so caching the
+    first epoch's fetches removes the recurring cost (64 canonical
+    70k-point clouds ≈ 53 MB — far under host RAM; disable for datasets
+    that don't fit)."""
+
+    def __init__(self, ds):
+        self.ds = ds
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.ds)
+
+    def __getitem__(self, i):
+        hit = self._cache.get(i)
+        if hit is None:
+            hit = self._cache[i] = self.ds[i]
+        return hit
+
+
 def put_global(batch, sharding=None):
     """Place one (possibly process-local) batch on device.
 

@@ -60,6 +60,11 @@ class TrainConfig:
     # length of the synthetic fallback datasets (when no --train_path):
     # clouds per split — sets steps/epoch for trainer-throughput sessions
     synthetic_length: int = 32
+    # cache dataset samples in host RAM after first fetch (see
+    # ndtpu.data.loader.CachedDataset; the r4 TPU session measured epochs
+    # host-bound on per-epoch sample regeneration). --no-cache_dataset
+    # for datasets larger than RAM.
+    cache_dataset: bool = True
     steps_per_epoch: Optional[int] = None  # derived from dataset when None
 
     # multi-host (jax.distributed.initialize; SURVEY.md §2.3 DP row).

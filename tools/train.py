@@ -173,6 +173,13 @@ def main():
             val_set = precompute_voxel_sizes(val_set, cfg)
             test_set = precompute_voxel_sizes(test_set, cfg)
 
+    if cfg.cache_dataset:
+        from ndtpu.data.loader import CachedDataset
+
+        train_set = CachedDataset(train_set)
+        val_set = CachedDataset(val_set)
+        test_set = CachedDataset(test_set)
+
     mesh = make_data_mesh(cfg.batch_size, cfg.data_axis)
     steps_per_epoch = max(1, len(train_set) // cfg.batch_size)
     sched = make_lr_schedule(
