@@ -85,6 +85,49 @@ class CachedDataset:
         return hit
 
 
+class DeviceCachedDataset:
+    """Whole-dataset device residency: ONE host->device upload at
+    construction, then per-batch on-device gathers (zero per-step wire
+    traffic).
+
+    Motivation (r4 TPU session, BASELINE.md): this image's tunneled TPU
+    moves host->device data at ~10 MB/s, so shipping the canonical
+    13.4 MB point batch costs ~1.3 s against a ~12 ms train step; any
+    dataset that fits HBM (64 canonical clouds ≈ 54 MB vs 16 GB) should
+    live on device and be indexed there. On a real (PCIe-attached) host
+    the same structure still saves the per-step copy. Single-process
+    only — multi-host trainers keep the per-host strided loader."""
+
+    def __init__(self, ds):
+        import jax
+
+        n = len(ds)
+        samples = [ds[i] for i in range(n)]
+        self.arrays = tuple(
+            jax.device_put(np.stack([s[k] for s in samples]))
+            for k in range(len(samples[0]))
+        )
+
+    def __len__(self):
+        return self.arrays[0].shape[0]
+
+    def loader(self, batch_size: int, shuffle: bool = True, seed: int = 0,
+               sharding=None):
+        import jax
+        import jax.numpy as jnp
+
+        n = len(self)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, n - batch_size + 1, batch_size):
+            idx = jnp.asarray(order[start:start + batch_size])
+            batch = tuple(a[idx] for a in self.arrays)
+            if sharding is not None:
+                batch = tuple(jax.device_put(b, sharding) for b in batch)
+            yield batch
+
+
 def put_global(batch, sharding=None):
     """Place one (possibly process-local) batch on device.
 

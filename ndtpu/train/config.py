@@ -65,6 +65,12 @@ class TrainConfig:
     # host-bound on per-epoch sample regeneration). --no-cache_dataset
     # for datasets larger than RAM.
     cache_dataset: bool = True
+    # hold the WHOLE dataset in device HBM and gather batches on device
+    # (ndtpu.data.loader.DeviceCachedDataset): removes the per-step
+    # host->device copy entirely — decisive on this image's ~10 MB/s
+    # tunneled link, still a per-step copy saved on real hosts.
+    # Single-process trainers with HBM-sized datasets only.
+    device_cache: bool = False
     steps_per_epoch: Optional[int] = None  # derived from dataset when None
 
     # multi-host (jax.distributed.initialize; SURVEY.md §2.3 DP row).

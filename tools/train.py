@@ -227,17 +227,31 @@ def main():
         config=vars(cfg),
     )
 
-    def make_loader(dataset, shuffle, seed=0):
-        # every process iterates the same global batch schedule and loads
-        # only its slice; the prefetcher assembles the global sharded array
-        return prefetch_to_device(
-            batch_iterator(
-                dataset, cfg.batch_size, shuffle=shuffle, seed=seed,
-                process_id=jax.process_index(),
-                num_processes=jax.process_count(),
-            ),
-            sharding,
-        )
+    if cfg.device_cache:
+        if jax.process_count() > 1:
+            raise SystemExit("--device_cache is single-process only")
+        from ndtpu.data.loader import DeviceCachedDataset
+
+        train_set = DeviceCachedDataset(train_set)
+        val_set = DeviceCachedDataset(val_set)
+        test_set = DeviceCachedDataset(test_set)
+
+        def make_loader(dataset, shuffle, seed=0):
+            return dataset.loader(cfg.batch_size, shuffle=shuffle,
+                                  seed=seed, sharding=sharding)
+    else:
+        def make_loader(dataset, shuffle, seed=0):
+            # every process iterates the same global batch schedule and
+            # loads only its slice; the prefetcher assembles the global
+            # sharded array
+            return prefetch_to_device(
+                batch_iterator(
+                    dataset, cfg.batch_size, shuffle=shuffle, seed=seed,
+                    process_id=jax.process_index(),
+                    num_processes=jax.process_count(),
+                ),
+                sharding,
+            )
 
     import time as _time
 
