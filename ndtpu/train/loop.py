@@ -162,6 +162,72 @@ def make_ndt_seg_step(n_desired_nds: int, n_classes: int,
     return step, eval_step
 
 
+def make_epoch_scan(step_fn, train: bool = True, sharding=None):
+    """Compile a WHOLE epoch as one XLA program: `lax.scan` over per-step
+    index rows, each gathering its batch from device-resident dataset
+    arrays (ndtpu.data.loader.DeviceCachedDataset) — zero host round
+    trips between steps.
+
+    Motivation (r4 TPU session, BASELINE.md): with the dataset on device
+    the epoch cost is dominated by per-step dispatch (one tunnel round
+    trip ≈ 25 ms against a ~12 ms step on this image); scanning the epoch
+    on device pays ONE dispatch per epoch. This is also the idiomatic
+    XLA structure — the epoch loop is compiler-visible, so weight
+    donation holds state in place across steps.
+
+    Returns epoch(state, order [steps, B] i32, *arrays) ->
+    (state, mean_metrics, last_metrics); for eval steps (train=False) the
+    state passes through unchanged.
+    """
+    zero = {"loss": jnp.float32(0.0), "accuracy": jnp.float32(0.0)}
+
+    def epoch(state, order, *arrays):
+        def body(carry, idx):
+            st, tot = carry
+            batch = tuple(a[idx] for a in arrays)
+            if sharding is not None:
+                batch = tuple(
+                    jax.lax.with_sharding_constraint(b, sharding)
+                    for b in batch
+                )
+            if train:
+                st, m = step_fn(st, *batch)
+            else:
+                m = step_fn(st, *batch)
+            return (st, {k: tot[k] + m[k] for k in tot}), m
+
+        (state, tot), ms = jax.lax.scan(body, (state, zero), order)
+        n = order.shape[0]
+        mean = {k: v / n for k, v in tot.items()}
+        last = {k: v[-1] for k, v in ms.items()}
+        return state, mean, last
+
+    if train:
+        return jax.jit(epoch, donate_argnums=(0,))
+    return jax.jit(epoch)
+
+
+def run_epoch_scan(epoch_fn, state, dataset, batch_size: int,
+                   shuffle: bool = True, seed: int = 0):
+    """Drive make_epoch_scan over a DeviceCachedDataset: builds the epoch's
+    [steps, B] index matrix (same shuffle scheme as batch_iterator, so the
+    batch schedule matches the host loader bit-for-bit) and returns
+    (state, metrics) in run_epoch's reporting format."""
+    import numpy as np
+
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    steps = n // batch_size
+    order = jnp.asarray(
+        order[:steps * batch_size].reshape(steps, batch_size).astype("int32")
+    )
+    state, mean, last = epoch_fn(state, order, *dataset.arrays)
+    return state, {**{f"last_{k}": float(v) for k, v in last.items()},
+                   **{f"mean_{k}": float(v) for k, v in mean.items()}}
+
+
 def make_pointnet_seg_step(n_classes: int | None = None):
     """Train step for PointNetSegmentation (train_pointnet.py:82-182):
     batch = (points [B, N, 3], gt_onehot [B, N, C+1]), no NDT anywhere.

@@ -91,9 +91,9 @@ def main():
                         "out-of-band frame emits a degraded count and the "
                         "re-search happens one frame late")
     p.add_argument("--research_every", type=int, default=0,
-                   help="force a full voxel-size re-search every K frames "
-                        "(0 = only when the count drifts out of band; "
-                        "--mode fixed only)")
+                   help="force a full cold voxel-size re-search every K "
+                        "frames (0 = never force; warm mode self-heals "
+                        "without it, fixed mode re-searches on drift)")
     p.add_argument("--out_dir", type=str, default=None,
                    help="write each frame's NDs as a colored PLY here")
     args = p.parse_args()
@@ -153,7 +153,7 @@ def main():
         pts_d = jnp.asarray(pts)
         force = args.research_every and i % args.research_every == 0
         t0 = time.perf_counter()
-        if size is None or (force and args.mode == "fixed"):
+        if size is None or force:
             pcl, covs, labels, mask, state = searched_j(pts_d)
             size = state.voxel_size
             n_search += 1

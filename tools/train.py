@@ -255,10 +255,32 @@ def main():
 
     import time as _time
 
+    use_scan = cfg.device_cache and cfg.epoch_scan
+    if use_scan:
+        from ndtpu.train.loop import make_epoch_scan, run_epoch_scan
+
+        train_ep = make_epoch_scan(step_fn, True, sharding)
+        eval_ep = make_epoch_scan(eval_fn, False, sharding)
+
+    def train_epoch(state, seed):
+        if use_scan:
+            return run_epoch_scan(train_ep, state, train_set,
+                                  cfg.batch_size, shuffle=True, seed=seed)
+        loader = make_loader(train_set, shuffle=True, seed=seed)
+        return run_epoch(step_fn, state, loader, train=True)
+
+    def eval_epoch(state, dataset):
+        if use_scan:
+            _, m = run_epoch_scan(eval_ep, state, dataset,
+                                  cfg.batch_size, shuffle=False)
+            return m
+        loader = make_loader(dataset, shuffle=False)
+        _, m = run_epoch(eval_fn, state, loader, train=False)
+        return m
+
     for epoch in range(cfg.epochs):
         t_ep = _time.perf_counter()
-        loader = make_loader(train_set, shuffle=True, seed=epoch)
-        state, m = run_epoch(step_fn, state, loader, train=True)
+        state, m = train_epoch(state, epoch)
         ep_s = _time.perf_counter() - t_ep
         clouds = steps_per_epoch * cfg.batch_size
         logger.log({**{f"train_{k}": v for k, v in m.items()},
@@ -266,8 +288,7 @@ def main():
                     "clouds_per_s": round(clouds / max(ep_s, 1e-9), 2)},
                    step=epoch + 1)
 
-        loader = make_loader(val_set, shuffle=False)
-        _, m = run_epoch(eval_fn, state, loader, train=False)
+        m = eval_epoch(state, val_set)
         logger.log({f"val_{k}": v for k, v in m.items()}, step=epoch + 1)
 
         if (epoch + 1) % cfg.save_every == 0 and is_host0:
@@ -276,8 +297,7 @@ def main():
             )
             print(f"saved checkpoint to {path}")
 
-    loader = make_loader(test_set, shuffle=False)
-    _, m = run_epoch(eval_fn, state, loader, train=False)
+    m = eval_epoch(state, test_set)
     logger.log({f"test_{k}": v for k, v in m.items()})
     logger.finish()
     if is_host0:
