@@ -86,7 +86,9 @@ def test_stream_cli(tmp_path):
     assert stats["fixed_frames"] == 4
     assert stats["steady_hz"] > 0
     assert len(list(out.glob("frame_*.ply"))) == 6
-    assert "fixed" in r.stderr and "search" in r.stderr
+    # default mode is the in-graph warm start (r4); forced re-searches
+    # (frames 0 and 3 via --research_every 3) stay cold searches
+    assert "warm" in r.stderr and "search" in r.stderr
 
 
 @pytest.mark.slow
