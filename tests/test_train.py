@@ -160,3 +160,59 @@ def test_streaming_step_matches_search_step():
     e_search = eval_step(s_search, pts, gt)
     e_stream = eval_step(s_search, pts, gt, sizes)
     assert float(e_search["loss"]) == float(e_stream["loss"])
+
+
+def test_epoch_scan_matches_per_step_loop():
+    """One compiled lax.scan epoch (make_epoch_scan over a device-resident
+    dataset) must reproduce the per-step loop's state and metrics: the
+    batch schedule is shared, so only the loop mechanics differ."""
+    from ndtpu.train.loop import make_epoch_scan, run_epoch_scan
+
+    class _DS:
+        def __init__(self, pts, gt):
+            self.samples = [(np.asarray(pts[i]), np.asarray(gt[i]))
+                            for i in range(pts.shape[0])]
+
+        def __len__(self):
+            return len(self.samples)
+
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    pts0, gt0 = make_batch(0)
+    pts1, gt1 = make_batch(1)
+    pts = jnp.concatenate([pts0, pts1])
+    gt = jnp.concatenate([gt0, gt1])
+
+    model = NDTNetSegmentation(num_classes=C, feature_dim=32)
+    tx = optax.adam(1e-3)
+
+    def fresh_state():
+        return create_train_state(
+            model, tx, jax.random.PRNGKey(0),
+            jnp.zeros((B, M, 3)), jnp.zeros((B, M, 9)),
+            init_kwargs={"train": False},
+        )
+
+    step, eval_step = make_ndt_seg_step(M, C)
+
+    # per-step loop over the same 2-batch schedule
+    st_loop = fresh_state()
+    losses = []
+    for s in range(2):
+        st_loop, m = step(st_loop, pts[s * B:(s + 1) * B],
+                          gt[s * B:(s + 1) * B])
+        losses.append(float(m["loss"]))
+
+    from ndtpu.data.loader import DeviceCachedDataset
+
+    ds = DeviceCachedDataset(_DS(pts, gt))
+    epoch_fn = make_epoch_scan(step, train=True)
+    st_scan, metrics = run_epoch_scan(epoch_fn, fresh_state(), ds, B,
+                                      shuffle=False)
+    assert abs(metrics["mean_loss"] - float(np.mean(losses))) < 1e-5
+    assert abs(metrics["last_loss"] - losses[-1]) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(st_loop.params),
+                    jax.tree_util.tree_leaves(st_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
