@@ -83,6 +83,12 @@ def gaussian_kl(mu_p, cov_p, mu_q, cov_q, rel_eps: float = 1e-6):
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _inv_mode() -> str:
+    import os
+
+    return os.environ.get("NDTPU_KL_INV", "argsort")
+
+
 def _pack_pair(a, b, b_span):
     """Fuse (a, b) into a*b_span + b, preserving INT32_MAX padding. Exact
     whenever the two grid dims multiply below 2^31 — the same (generous)
@@ -159,6 +165,15 @@ def neighbor_min_kl(means, covs, counts, zyx, lens):
             jnp.concatenate([jnp.where(ok_ab, kl_ab, -inf), -inf[None]]),
             jnp.concatenate([-inf[None], jnp.where(ok_ba, kl_ba, -inf)]),
         )
+        if _inv_mode() == "scatter":
+            # perm is a permutation, so the inverse-gather is equivalently
+            # ONE unique-index scatter-set (no K-row argsort). Opt-in via
+            # NDTPU_KL_INV=scatter pending TPU A/B — XLA scatters can
+            # serialize on TPU, but K is tiny (~1256) while the argsort
+            # is a full K-row sort stage.
+            out_mn = jnp.full_like(mn, jnp.inf).at[perm].set(mn)
+            out_mx = jnp.full_like(mx, -jnp.inf).at[perm].set(mx)
+            return out_mn, out_mx
         inv = jnp.argsort(perm).astype(jnp.int32)  # segment -> sorted row
         return mn[inv], mx[inv]
 
