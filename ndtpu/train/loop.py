@@ -224,6 +224,9 @@ def run_epoch_scan(epoch_fn, state, dataset, batch_size: int,
         order[:steps * batch_size].reshape(steps, batch_size).astype("int32")
     )
     state, mean, last = epoch_fn(state, order, *dataset.arrays)
+    # ONE host transfer for all metric scalars (each float() would pay a
+    # full device round trip on the tunneled backend)
+    mean, last = jax.device_get((mean, last))
     return state, {**{f"last_{k}": float(v) for k, v in last.items()},
                    **{f"mean_{k}": float(v) for k, v in mean.items()}}
 
