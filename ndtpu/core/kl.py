@@ -84,9 +84,11 @@ _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
 def _inv_mode() -> str:
+    # r4 TPU A/B (BASELINE.md): scatter-set 8.37 vs argsort 8.45 ms
+    # canonical — a tie-to-slight-win, and one fewer K-row sort stage
     import os
 
-    return os.environ.get("NDTPU_KL_INV", "argsort")
+    return os.environ.get("NDTPU_KL_INV", "scatter")
 
 
 def _pack_pair(a, b, b_span):
@@ -167,10 +169,8 @@ def neighbor_min_kl(means, covs, counts, zyx, lens):
         )
         if _inv_mode() == "scatter":
             # perm is a permutation, so the inverse-gather is equivalently
-            # ONE unique-index scatter-set (no K-row argsort). Opt-in via
-            # NDTPU_KL_INV=scatter pending TPU A/B — XLA scatters can
-            # serialize on TPU, but K is tiny (~1256) while the argsort
-            # is a full K-row sort stage.
+            # ONE unique-index scatter-set (no K-row argsort). Default per
+            # the r4 TPU A/B; NDTPU_KL_INV=argsort restores the r3 path.
             out_mn = jnp.full_like(mn, jnp.inf).at[perm].set(mn)
             out_mx = jnp.full_like(mx, -jnp.inf).at[perm].set(mx)
             return out_mn, out_mx
