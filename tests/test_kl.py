@@ -222,6 +222,43 @@ def test_neighbor_min_kl_random_grid_vs_bruteforce():
         assert np.isposinf(min_kl[kk:]).all()
 
 
+def test_kl_inverse_permutation_modes_agree(monkeypatch):
+    """NDTPU_KL_INV=scatter (r4 default: unique-index scatter-set) and
+    =argsort (r3 path: K-row argsort + gather) are two routings of the same
+    inverse permutation and must agree bitwise on every segment."""
+    rng = np.random.default_rng(11)
+    big = np.iinfo(np.int32).max
+    lens_np = np.array([4, 3, 3], np.int64)
+    all_cells = np.array(
+        [
+            (z, y, x)
+            for z in range(lens_np[2])
+            for y in range(lens_np[1])
+            for x in range(lens_np[0])
+        ],
+        dtype=np.int32,
+    )
+    occ_zyx = all_cells[rng.random(len(all_cells)) < 0.6]
+    kk = len(occ_zyx)
+    k = kk + 2
+    zyx = np.full((k, 3), big, np.int32)
+    zyx[:kk] = occ_zyx
+    means = rng.normal(size=(k, 3)).astype(np.float32)
+    covs = np.stack([random_spd(rng) * 0.1 for _ in range(k)]).astype(
+        np.float32
+    )
+    counts = np.zeros(k, np.int32)
+    counts[:kk] = rng.integers(2, 20, size=kk)
+    args = (jnp.asarray(means), jnp.asarray(covs), jnp.asarray(counts),
+            jnp.asarray(zyx), jnp.asarray(lens_np, jnp.int32))
+    monkeypatch.setenv("NDTPU_KL_INV", "scatter")
+    mn_s, mx_s = neighbor_min_kl(*args)
+    monkeypatch.setenv("NDTPU_KL_INV", "argsort")
+    mn_a, mx_a = neighbor_min_kl(*args)
+    np.testing.assert_array_equal(np.asarray(mn_s), np.asarray(mn_a))
+    np.testing.assert_array_equal(np.asarray(mx_s), np.asarray(mx_a))
+
+
 def test_singularity_mask_rel_eps_vs_reference_zero_compare():
     """The one deliberate semantic deviation from the reference
     (kullback_leibler.c:66-78 compares det == 0 exactly): a rank-deficient
