@@ -229,12 +229,26 @@ def _moments_kernel(seg_ref, xt_ref, yt_ref, zt_ref, v_ref, cls_ref,
 
         xx, xy, xz = xt * xt, xt * yt, xt * zt
         yy, yz, zz = yt * yt, yt * zt, zt * zt
-        row_list = [v, xt, yt, zt, xx, xy, xz, xy, yy, yz, xz, yz, zz]
-        for c in range(slots):
-            row_list.append(v * (cls == c).astype(jnp.float32))
-        for tr in tag_refs:
-            row_list.append(tr[0, 0, sl])
-        feats = jnp.stack(row_list, axis=0)  # [F, sub_n] f32, VMEM only
+        blocks = [jnp.stack(
+            [v, xt, yt, zt, xx, xy, xz, xy, yy, yz, xz, yz, zz], axis=0
+        )]
+        if slots:
+            # class-histogram rows as ONE broadcast compare against a
+            # [slots, sub_n] iota (not a Python loop of per-class VPU
+            # ops — at the trainers' 28(+1) slots the loop dominated the
+            # tagged kernel's VPU time); v masks invalid rows to zero
+            cls_hot = (
+                jax.lax.broadcasted_iota(jnp.int32, (slots, sub_n), 0)
+                == cls[None, :]
+            ).astype(jnp.float32) * v[None, :]
+            blocks.append(cls_hot)
+        if tag_refs:
+            blocks.append(
+                jnp.stack([tr[0, 0, sl] for tr in tag_refs], axis=0)
+            )
+        feats = (
+            jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
+        )  # [F, sub_n] f32, VMEM only
 
         if bf16x3:
             f = feats.shape[0]
