@@ -67,6 +67,7 @@ def test_full_pipeline_pallas_parity():
     (1000, 37, 5, 128),
     (513, 5, 1, 256),      # non-divisible N -> padding path
     (64, 40, 3, 512),      # tiny input, block clamped
+    (4096, 64, 29, 1024),  # trainers' 28+1 slots, sub-blocked (sub 128)
 ])
 def test_fused_moments_matches_xla(n, k, slots, block):
     from ndtpu.core.moments import segment_moments_soa
