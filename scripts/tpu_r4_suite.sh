@@ -26,9 +26,6 @@ python bench.py --warm_start --skip_cpu_baseline >> "$LOG" 2>&1
 stamp "training step (streaming, int GT)"
 python bench.py --train --streaming --skip_cpu_baseline >> "$LOG" 2>&1
 
-stamp "training step (searched, int GT)"
-python bench.py --train --skip_cpu_baseline >> "$LOG" 2>&1
-
 stamp "TPU training session: 10 epochs, device-cache + epoch-scan"
 rm -rf /tmp/tpu_train_r4_final
 python tools/train.py --epochs 10 --synthetic_length 64 \

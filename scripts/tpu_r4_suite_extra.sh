@@ -7,6 +7,9 @@ LOG=${1:-tpu_r4_final.log}
 cd "$(dirname "$0")/.."
 stamp() { echo "=== $1 $(date -u) ===" | tee -a "$LOG"; }
 
+stamp "training step (searched, int GT)"
+python bench.py --train --skip_cpu_baseline >> "$LOG" 2>&1
+
 stamp "stage split (post-sub-block tree)"
 python scripts/stage_timing.py --use_pallas >> "$LOG" 2>&1
 
