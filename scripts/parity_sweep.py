@@ -36,7 +36,8 @@ PROTOCOL = {
 }
 
 
-def run_seed(task, seed, outdir, eval_every, wide_test_size=0):
+def run_seed(task, seed, outdir, eval_every, wide_test_size=0,
+             save_finals=False):
     out = os.path.join(outdir, f"{task}_{seed}.json")
     if os.path.exists(out):
         print(f"[sweep] {task} seed {seed}: exists, skipping", flush=True)
@@ -50,6 +51,10 @@ def run_seed(task, seed, outdir, eval_every, wide_test_size=0):
            "--eval_every", str(eval_every), "--out", tmp]
     if wide_test_size:
         cmd += ["--wide_test_size", str(wide_test_size)]
+    if save_finals:
+        fdir = os.path.join(outdir, "finals")
+        os.makedirs(fdir, exist_ok=True)
+        cmd += ["--save_finals", os.path.join(fdir, f"{task}_{seed}")]
     t0 = time.time()
     print(f"[sweep] {task} seed {seed}: running ...", flush=True)
     env = dict(os.environ, NDTPU_PLATFORM="cpu")
@@ -175,6 +180,10 @@ def main():
                     help="forwarded to parity_train.py: final-model eval on "
                          "this many test clouds in addition to the legacy "
                          "narrow metric (training math unchanged)")
+    ap.add_argument("--save_finals", action="store_true",
+                    help="save both frameworks' final weights per seed "
+                         "under {outdir}/finals/ (forwarded to "
+                         "parity_train.py --save_finals)")
     ap.add_argument("--aggregate_only", action="store_true")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
@@ -185,7 +194,7 @@ def main():
         if args.jobs <= 1:
             for task, seed in work:
                 run_seed(task, seed, args.outdir, args.eval_every,
-                         args.wide_test_size)
+                         args.wide_test_size, args.save_finals)
                 aggregate(task, args.outdir,
                           os.path.join(REPO, f"PARITY_{'CLS' if task.startswith('c') else 'SEG'}.json"))
         else:
@@ -197,7 +206,7 @@ def main():
             def one(ts):
                 task, seed = ts
                 run_seed(task, seed, args.outdir, args.eval_every,
-                         args.wide_test_size)
+                         args.wide_test_size, args.save_finals)
                 with agg_lock:
                     aggregate(task, args.outdir,
                               os.path.join(REPO, f"PARITY_{'CLS' if task.startswith('c') else 'SEG'}.json"))

@@ -194,7 +194,8 @@ def train_torch(t_model, task, train_d, test_d, labels_tr, labels_te, perms,
 
 def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
                 perms, batch, lr, n_classes, feature_dim, eval_every=0,
-                wide_d=None, labels_wide=None, bn_frozen=False, f64=False):
+                wide_d=None, labels_wide=None, bn_frozen=False, f64=False,
+                loss_form="exact"):
     """Train the flax twin from the SAME transplanted init, same schedule."""
     import jax
     import jax.numpy as jnp
@@ -244,7 +245,17 @@ def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
                 )
                 new_bs = mutated["batch_stats"]
             m = mask if task == "segmentation" else None
-            loss = cross_entropy_loss(logits, target, m)
+            if loss_form == "reference" and task == "classification":
+                # the torch side's literal form (train.py:72 + the softmax
+                # classification head): CE on probabilities with a 1e-9
+                # floor, instead of fused log-softmax — identical to ~1e-7
+                # for the first steps, but a distinct rounding stream (the
+                # r4-flagged loss-asymmetry control)
+                probs = jax.nn.softmax(logits, axis=-1)
+                loss = -jnp.sum(target * jnp.log(probs + 1e-9),
+                                axis=-1).mean()
+            else:
+                loss = cross_entropy_loss(logits, target, m)
             return loss, (logits, new_bs)
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
@@ -297,7 +308,9 @@ def train_ndtpu(variables, task, train_d, test_d, labels_tr, labels_te,
 
     wide_acc = (eval_test(state, wide_d, labels_wide)
                 if wide_d is not None else None)
-    return curve, eval_test(state), loss_curve, test_curve, wide_acc
+    finals = {"params": jax.device_get(state.params),
+              "batch_stats": jax.device_get(state.batch_stats)}
+    return curve, eval_test(state), loss_curve, test_curve, wide_acc, finals
 
 
 def main():
@@ -323,6 +336,20 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--torch_loss", default="intent",
                     choices=["intent", "literal"])
+    ap.add_argument("--ndtpu_loss", default="exact",
+                    choices=["exact", "reference"],
+                    help="classification loss form on the ndtpu side: "
+                         "'exact' = fused log-softmax CE (the harness "
+                         "protocol since r2), 'reference' = the torch "
+                         "side's verbatim -(onehot*log(softmax+1e-9)) form "
+                         "— the A/B control for the r4-flagged loss "
+                         "asymmetry (identical math, distinct f32 rounding "
+                         "stream)")
+    ap.add_argument("--save_finals", default="",
+                    help="path prefix: save both frameworks' FINAL weights "
+                         "({prefix}_ndtpu.npz / {prefix}_torch.pt) so wide "
+                         "evals never require retraining again (the r4 "
+                         "residual existed because finals were discarded)")
     ap.add_argument("--eval_every", type=int, default=0,
                     help="also record test accuracy every K epochs (eval is "
                          "side-effect-free; training math is unchanged)")
@@ -411,11 +438,11 @@ def main():
 
         jax.config.update("jax_enable_x64", True)
 
-    j_curve, j_test, j_loss, j_testc, j_wide = train_ndtpu(
+    j_curve, j_test, j_loss, j_testc, j_wide, j_finals = train_ndtpu(
         variables, args.task, train_d, test_d, tr_lab, te_lab, perms,
         args.batch_size, args.lr, n_classes, args.feature_dim,
         args.eval_every, wide_d, te_lab_wide,
-        args.bn_frozen, args.precision == "f64",
+        args.bn_frozen, args.precision == "f64", args.ndtpu_loss,
     )
     print(f"[parity] ndtpu trained ({time.time() - t0:.1f}s): "
           f"final train acc {j_curve[-1]:.4f}, test acc {j_test:.4f}"
@@ -451,13 +478,26 @@ def main():
         "wide_test_size": args.wide_test_size,
         "bn_frozen": args.bn_frozen,
         "precision": args.precision,
+        "ndtpu_loss": args.ndtpu_loss,
         "parity": j_test >= t_test - 0.02,
         "wall_s": round(time.time() - t0, 1),
     }
+    if args.save_finals:
+        import torch
+
+        from jax.tree_util import tree_flatten_with_path, keystr
+
+        leaves, _ = tree_flatten_with_path(j_finals)
+        np.savez(args.save_finals + "_ndtpu.npz",
+                 **{keystr(path): np.asarray(leaf)
+                    for path, leaf in leaves})
+        torch.save(t_model.state_dict(), args.save_finals + "_torch.pt")
+        result["finals"] = args.save_finals
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":
