@@ -149,6 +149,7 @@ def aggregate(task, outdir, dest):
                           **paired_stats(list(jw), list(tw))}
     with open(dest, "w") as f:
         json.dump(result, f, indent=1)
+        f.write("\n")
     mean_d = stats["paired_diff"]["mean"]
     print(f"[sweep] {task}: n={len(j)} ndtpu {stats['mean']['ndtpu']:.4f}±"
           f"{stats['stderr']['ndtpu']:.4f} torch {stats['mean']['torch']:.4f}±"

@@ -168,10 +168,14 @@ def main():
     for _ in range(args.iters):
         float(repeat(jnp.float32(0.0)))
     raw = (time.perf_counter() - t0) / args.iters / args.inner
-    dt = max(raw - rtt / args.inner, 1e-9)
+    dt = raw - rtt / args.inner
+    # a measurement at or below the RTT floor is noise, not data (ADVICE
+    # r4: a clamped 0.0 reads as a real sub-resolution number) — mark it
+    below_floor = dt <= 0
     print(json.dumps({
         "metric": "prep_micro_ms", "mode": args.mode, "blk": args.blk,
-        "ms_per_batch": round(dt * 1000, 3),
+        "ms_per_batch": None if below_floor else round(dt * 1000, 3),
+        "below_floor": below_floor,
         "raw_ms_per_batch": round(raw * 1000, 3),
         "rtt_ms": round(rtt * 1000, 2),
     }))

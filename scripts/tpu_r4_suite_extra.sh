@@ -45,6 +45,9 @@ EOF
 
 stamp "resume cycle: +2 epochs from the epoch-10 checkpoint"
 CK=$(ls -d /tmp/tpu_train_r4_final/*/*_10 2>/dev/null | tail -1)
+# empty CK would make --resume "" falsy in tools/train.py and silently
+# train from scratch — the resume validation would be vacuous (ADVICE r4)
+[ -n "$CK" ] || { echo "no epoch-10 checkpoint found" | tee -a "$LOG"; exit 1; }
 echo "resuming from $CK" >> "$LOG"
 python tools/train.py --epochs 12 --synthetic_length 64 \
     --n_desired_nds 1000 --device_cache --save_every 12 \
