@@ -637,7 +637,7 @@ def main():
                         "— on when the first device is a TPU)")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--search", type=str, default="fast",
-                   choices=["fast", "reference", "grid"],
+                   choices=["fast", "probe", "reference", "grid"],
                    help="'fast' hits the same [n, 1.2n] acceptance band in "
                         "~2-5 voxelizations; 'reference' follows the C "
                         "bisection trajectory")

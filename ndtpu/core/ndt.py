@@ -309,6 +309,65 @@ def _search_voxel_size(px, py, pz, mask, n_desired, mins, maxs,
     return final, done
 
 
+PROBE_FACTOR = 4  # cold-probe subsample stride (scripts/probe_seed_validate)
+
+
+def _probe_seed_size(px, py, pz, mask, n_desired, mins, maxs, lo_min):
+    """Cold-start steering probe: a subsampled occupancy count at the
+    geometric-mean seed, Chao1-corrected, feeding the same alpha=2 secant
+    step the fast search would take from an exact seed evaluation.
+
+    Rationale (r5 sort-stage work): every cold evaluation of the fused
+    search is a full [N]-payload sort — the pipeline's dominant stage —
+    and the geometric-mean seed (voxel.c:28-59) misses the acceptance
+    band on cluster/surface clouds 100% of the time (BASELINE.md seed hit
+    rates), so cold cost is >= 2 full sorts. This probe sorts only N/4
+    interleaved KEYS (~1/5 the sort cost), estimates the full-cloud
+    occupied count D via Chao1 (D = d + f1(f1-1)/(2(f2+1)) from the
+    subsample's singleton/doubleton voxel runs — the plain subsample
+    count misses low-occupancy voxels and its -7..-18% bias pushes the
+    steered step out of the 20%-wide band), and returns the stepped size.
+    Offline trajectory replay (scripts/probe_seed_validate.py): full
+    evaluations to acceptance drop 2.00 -> 1.00 (bench distribution),
+    3.69 -> 2.44 (64-cluster), 3.00 -> 2.00 (uniform) at estimator error
+    -2.7% +- 1.9%.
+
+    Steering only: the returned size seeds `_search_and_sort_fast`'s
+    evaluation 0, whose full sort still verifies the acceptance band
+    exactly — a probe miss costs one extra exact iteration (today's cold
+    behavior), never correctness. Probe keys are packed (clamped into the
+    packed envelope); acceptance evaluations use the caller's key mode.
+    """
+    s0, _, _ = vx.estimate_voxel_size(n_desired, mins, maxs)
+    lo0 = jnp.maximum(jnp.float32(MIN_VOXEL_GUESS), lo_min)
+    hi0 = jnp.maximum(jnp.float32(MAX_VOXEL_GUESS), lo0)
+    s0 = jnp.clip(jnp.nan_to_num(s0, nan=1.0), lo0, hi0)
+    s_eval = jnp.maximum(s0, _min_packable_voxel_size(mins, maxs))
+    key, _, _ = _voxel_keys(
+        px[::PROBE_FACTOR], py[::PROBE_FACTOR], pz[::PROBE_FACTOR],
+        mask[::PROBE_FACTOR], s_eval, mins, maxs,
+    )
+    key = jax.lax.sort(key)
+    valid = key != _INT_MAX
+    new = jnp.ones_like(valid)
+    new = new.at[1:].set(key[1:] != key[:-1])
+    start = valid & new
+    # a run has length 1 iff the next position starts a run too (the
+    # sentinel tail's first position counts as a start; end pads True)
+    nxt1 = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
+    nxt2 = jnp.concatenate([new[2:], jnp.ones((2,), bool)])
+    d = jnp.sum(start.astype(jnp.int32))
+    f1 = jnp.sum((start & nxt1).astype(jnp.int32))
+    f2 = jnp.sum((start & ~nxt1 & nxt2).astype(jnp.int32))
+    f1f = f1.astype(jnp.float32)
+    d_hat = d.astype(jnp.float32) + f1f * (f1f - 1.0) / (
+        2.0 * (f2.astype(jnp.float32) + 1.0)
+    )
+    target = jnp.float32(n_desired * (1.0 + DOWNSAMPLE_UPPER_THRESHOLD / 2.0))
+    step = s_eval * jnp.sqrt(jnp.maximum(d_hat, 1.0) / target)
+    return jnp.clip(jnp.nan_to_num(step, nan=1.0), lo0, hi0)
+
+
 def _count_occupied_multi(px, py, pz, mask, sizes, mins, maxs,
                           pair: bool = False):
     """Occupied-voxel counts at G candidate sizes in ONE fused sort.
@@ -861,9 +920,13 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
       classes: optional [N] int class tags in [0, num_class_slots).
       num_class_slots: static, = n_classes + 1 in reference terms.
       search: "reference" follows the C bisection trajectory exactly
-        (ndt.c:136-187); "fast" (the throughput default) reaches the same
+        (ndt.c:136-187); "fast" reaches the same
         acceptance band in ~2-5 voxelizations via a seeded secant
-        iteration; "grid" evaluates 6 candidates per round in one fused
+        iteration; "probe" is "fast" with the cold seed evaluation
+        replaced by a subsampled Chao1 occupancy probe (the r5 throughput
+        default: ~1 full payload sort per cold cloud instead of >= 2,
+        same acceptance band, same converged semantics — see
+        _probe_seed_size); "grid" evaluates 6 candidates per round in one fused
         multi-row sort (~2-3 rounds) — fewer sequential rounds, but
         measured slower than "fast" on the current backend, where a G-row
         sort costs ~3x a single-row sort (sort-scaling measurement in
@@ -934,16 +997,26 @@ def ndt_downsample(points, n_desired: int, mask=None, classes=None,
             px, py, pz, mask, n_desired, mins, maxs,
             pair=(key_mode == "pair"), lo_min=envelope,
         )
-    elif search == "fast":
+    elif search in ("fast", "probe"):
         # our own trajectory: lower bound clamped to the build envelope up
         # front (every guess is buildable, counts exact throughout), with
         # the payload riding along in each count sort — the accepted
         # iteration's sort feeds _build_state directly, saving one full
-        # payload sort per call (see _search_and_sort_fast)
+        # payload sort per call (see _search_and_sort_fast). "probe"
+        # additionally replaces the cold seed evaluation with a
+        # subsampled Chao1 occupancy probe (~1/5 of a key sort) whose
+        # steered size typically lands evaluation 0 in band — cold cost
+        # drops from >= 2 full payload sorts to ~1 (see _probe_seed_size);
+        # acceptance stays exact, a warm seed takes precedence
+        override = warm_start_size
+        if search == "probe" and warm_start_size is None:
+            override = _probe_seed_size(
+                px, py, pz, mask, n_desired, mins, maxs, lo_min=envelope,
+            )
         voxel_size, converged, presorted = _search_and_sort_fast(
             px, py, pz, mask, classes, n_desired, mins, maxs,
             lo_min=envelope, tagged=num_class_slots > 1, key_mode=key_mode,
-            size0_override=warm_start_size,
+            size0_override=override,
         )
     else:
         # exact C bisection trajectory (ndt.c:136-187): counts use the

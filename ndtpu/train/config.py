@@ -85,9 +85,9 @@ class TrainConfig:
     process_id: int = 0
 
     def validate(self):
-        if self.search not in ("fast", "reference", "grid"):
+        if self.search not in ("fast", "probe", "reference", "grid"):
             raise ValueError(
-                f"--search must be fast|reference|grid, got {self.search!r}"
+                f"--search must be fast|probe|reference|grid, got {self.search!r}"
             )
         return self
 

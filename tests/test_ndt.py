@@ -406,3 +406,54 @@ def test_warm_start_in_band_seed_matches_searched():
                            warm_start_size=jnp.float32(25.0))
     assert bool(stale[4].converged)
     assert 48 <= int(stale[4].num_valid) <= int(48 * 1.2)
+
+
+def test_probe_search_lands_in_band():
+    """search="probe" (Chao1-probe-seeded cold search, the r5 sort-stage
+    lever) must satisfy the same acceptance semantics as "fast": converged
+    runs land in [n, 1.2n] occupied voxels, emit exactly n, and the run is
+    deterministic. The accepted size may differ from "fast" (a different
+    in-band point — the contract is the band, ndt.h:38), but a warm seed
+    must take precedence over the probe and reproduce the fast path's
+    warm behavior exactly."""
+    rng = np.random.default_rng(41)
+    for seed in range(3):
+        pts = jnp.asarray(
+            (rng.normal(size=(900, 3)) * (1.0 + seed)).astype(np.float32)
+        )
+        pcl, covs, labels, mask, state = ndt_downsample(
+            pts, 40, search="probe"
+        )
+        assert bool(state.converged)
+        assert 40 <= int(state.num_valid) <= 48
+        assert int(mask.sum()) == 40
+        again = ndt_downsample(pts, 40, search="probe")
+        np.testing.assert_array_equal(np.asarray(pcl), np.asarray(again[0]))
+    # warm seed takes precedence over the probe: identical to fast+warm
+    pts = jnp.asarray(rng.normal(size=(1024, 3)).astype(np.float32) * 3.0)
+    ref = ndt_downsample(pts, 48, search="fast")
+    seeded = ndt_downsample(
+        pts, 48, search="probe", warm_start_size=ref[4].voxel_size
+    )
+    assert float(seeded[4].voxel_size) == float(ref[4].voxel_size)
+    np.testing.assert_array_equal(np.asarray(ref[3]), np.asarray(seeded[3]))
+
+
+def test_probe_search_batched_clustered():
+    """Batched (vmapped) probe search on cluster-structured clouds — the
+    distribution whose geometric-mean seed always misses the band (the
+    case the probe exists for). Every cloud must converge in band."""
+    rng = np.random.default_rng(5)
+    clouds = []
+    for _ in range(4):
+        centers = rng.uniform(-8, 8, size=(24, 3))
+        pts = (centers[:, None, :]
+               + rng.normal(scale=0.3, size=(24, 48, 3))).reshape(-1, 3)
+        clouds.append(pts.astype(np.float32))
+    batch = jnp.asarray(np.stack(clouds))
+    fn = jax.vmap(lambda p: ndt_downsample(p, 64, search="probe"))
+    pcl, covs, labels, mask, state = fn(batch)
+    assert bool(state.converged.all())
+    assert np.all(np.asarray(state.num_valid) >= 64)
+    assert np.all(np.asarray(state.num_valid) <= 76)
+    assert np.all(np.asarray(mask.sum(axis=1)) == 64)

@@ -83,7 +83,7 @@ def main():
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--search", type=str, default="fast",
-                   choices=["fast", "reference", "grid"])
+                   choices=["fast", "probe", "reference", "grid"])
     p.add_argument("--use_pallas", action="store_true", default=None)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     args = p.parse_args()

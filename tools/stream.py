@@ -79,7 +79,7 @@ def main():
                    help="tools/train.py segmentation checkpoint to run on "
                         "each frame's NDs")
     p.add_argument("--search", type=str, default="fast",
-                   choices=["fast", "reference", "grid"])
+                   choices=["fast", "probe", "reference", "grid"])
     p.add_argument("--mode", type=str, default="warm",
                    choices=["warm", "fixed"],
                    help="'warm' (default): each frame seeds the fast "
