@@ -29,8 +29,10 @@ def main():
     p.add_argument("--k", type=int, default=1209)
     p.add_argument("--mode", type=str, default="pallas",
                    choices=["pallas", "xla", "none", "sort1", "sort2",
-                            "sort7", "moments", "moments_noflop",
-                            "moments_empty"],
+                            "sort4", "sort5", "sort7", "moments",
+                            "moments_noflop", "moments_empty",
+                            "kl_full", "kl_sorts", "kl_evals",
+                            "kl_gathers", "kl_scatter", "kl_payload"],
                    help="'none' times only the input perturbation loop; "
                         "sortN times an N-operand lax.sort over [B, N]; "
                         "the moments* trio isolates the fused moment "
@@ -38,8 +40,22 @@ def main():
                         "'moments' = the real kernel, 'moments_noflop' = "
                         "same DMAs + VPU feats build, matmul replaced by "
                         "a row reduce, 'moments_empty' = same grid/DMAs "
-                        "with an empty body (the per-grid-step floor)")
+                        "with an empty body (the per-grid-step floor); "
+                        "the kl_* family decomposes the KL stage at "
+                        "K-row scale (VERDICT r5 item 5): kl_full = the "
+                        "production neighbor_min_kl, kl_sorts = the two "
+                        "3-operand K-row re-sorts, kl_evals = the 6 "
+                        "gaussian_kl evaluations on pre-gathered rows, "
+                        "kl_gathers = the per-axis segment gathers, "
+                        "kl_scatter = the 6 inverse-permutation "
+                        "scatter-sets, kl_payload = the candidate "
+                        "rewrite (moments ride the re-sorts as payload; "
+                        "zero segment gathers)")
     p.add_argument("--slots", type=int, default=1)
+    p.add_argument("--k_max", type=int, default=1208,
+                   help="padded K for the kl_* modes "
+                        "(max_segments(1000) = 1208, the canonical row "
+                        "count through the KL stage)")
     p.add_argument("--n_tags", type=int, default=3)
     p.add_argument("--inner", type=int, default=32)
     p.add_argument("--iters", type=int, default=3)
@@ -195,6 +211,149 @@ def main():
 
         print(f"[micro] moments probe: block {block_n} sub {sub_n} "
               f"grid {grid[0]} rows/el {rows}", file=sys.stderr)
+    elif args.mode.startswith("kl"):
+        # KL-stage decomposition at the canonical K-row scale. Inputs
+        # mirror what _build_state hands neighbor_min_kl: lexicographically
+        # sorted occupied-voxel coords with INT32_MAX padding, per-segment
+        # moments, sample counts (ndtpu/core/kl.py:101-196).
+        from ndtpu.core.kl import _pack_pair, gaussian_kl, neighbor_min_kl
+
+        K = args.k_max
+        kv = int(K * 0.91)  # ~1100 valid of 1208 (canonical occupancy)
+        G = 40
+        imax = np.iinfo(np.int32).max
+        zyx_np = np.full((args.batch, K, 3), imax, np.int32)
+        means_np = np.zeros((args.batch, K, 3), np.float32)
+        covs_np = np.zeros((args.batch, K, 3, 3), np.float32)
+        counts_np = np.zeros((args.batch, K), np.int32)
+        for b in range(args.batch):
+            lin = np.sort(rng.choice(G * G * G, size=kv, replace=False))
+            z, rem = lin // (G * G), lin % (G * G)
+            y, x = rem // G, rem % G
+            zyx_np[b, :kv] = np.stack([z, y, x], axis=1)
+            means_np[b, :kv] = (np.stack([x, y, z], axis=1) + 0.5
+                                + rng.normal(scale=0.1, size=(kv, 3)))
+            a = rng.normal(scale=0.3, size=(kv, 3, 3)).astype(np.float32)
+            covs_np[b, :kv] = a @ a.transpose(0, 2, 1) + 0.05 * np.eye(3)
+            counts_np[b, :kv] = rng.integers(2, 60, size=kv)
+        zyx_d = jnp.asarray(zyx_np)
+        means_d = jnp.asarray(means_np)
+        covs_d = jnp.asarray(covs_np)
+        counts_d = jnp.asarray(counts_np)
+        lens_d = jnp.asarray(np.array([G, G, G], np.int32))
+        perms = [jnp.asarray(rng.permutation(K).astype(np.int32))
+                 for _ in range(2)]
+        # kl modes use a small feats array purely as the anti-CSE carry
+        feats_d = jnp.asarray(feats[:, :K, :4].copy())
+
+        if args.mode == "kl_full":
+            def fn(f, s):
+                mp = means_d + f[:, :, :3] * 1e-20
+                mn, mx = jax.vmap(
+                    neighbor_min_kl, in_axes=(0, 0, 0, 0, None)
+                )(mp, covs_d, counts_d, zyx_d, lens_d)
+                return (jnp.where(jnp.isfinite(mn), mn, 0.0)
+                        + jnp.where(jnp.isfinite(mx), mx, 0.0))
+        elif args.mode == "kl_sorts":
+            def fn(f, s):
+                pert = jnp.round(f[:, :, 0] * 0).astype(jnp.int32)
+
+                def one(zyx_row, p):
+                    z, y, x = (zyx_row[:, 0] + p, zyx_row[:, 1],
+                               zyx_row[:, 2])
+                    idx = jnp.arange(K, dtype=jnp.int32)
+                    zx, ys, py = jax.lax.sort(
+                        (_pack_pair(z, x, lens_d[0]), y, idx), num_keys=3)
+                    yx, zs, pz = jax.lax.sort(
+                        (_pack_pair(y, x, lens_d[0]), z, idx), num_keys=3)
+                    return (zx + ys + py + yx + zs + pz).astype(jnp.float32)
+
+                return jax.vmap(one)(zyx_d, pert)
+        elif args.mode == "kl_evals":
+            def fn(f, s):
+                mp = means_d + f[:, :, :3] * 1e-20
+
+                def one(m, c):
+                    tot = jnp.zeros((K - 3,), jnp.float32)
+                    for shift in (1, 2, 3):  # 3 axes x 2 directions
+                        ka, _ = gaussian_kl(m[:-shift], c[:-shift],
+                                            m[shift:], c[shift:])
+                        kb, _ = gaussian_kl(m[shift:], c[shift:],
+                                            m[:-shift], c[:-shift])
+                        tot += (jnp.nan_to_num(ka[: K - 3])
+                                + jnp.nan_to_num(kb[: K - 3]))
+                    return tot
+
+                return jax.vmap(one)(mp, covs_d)
+        elif args.mode == "kl_gathers":
+            def fn(f, s):
+                mp = means_d + f[:, :, :3] * 1e-20
+
+                def one(m, c, cnt):
+                    tot = jnp.float32(0.0)
+                    for p in (jnp.arange(K, dtype=jnp.int32), *perms):
+                        a, b = p[:-1], p[1:]
+                        tot += (jnp.sum(m[a]) + jnp.sum(m[b])
+                                + jnp.sum(c[a]) + jnp.sum(c[b])
+                                + jnp.sum(cnt[a]).astype(jnp.float32)
+                                + jnp.sum(cnt[b]).astype(jnp.float32))
+                    return tot
+
+                return jax.vmap(one)(mp, covs_d, counts_d)
+        elif args.mode == "kl_scatter":
+            def fn(f, s):
+                def one(vals):
+                    tot = jnp.float32(0.0)
+                    for p in perms:
+                        for col in range(3):
+                            out = jnp.full((K,), jnp.inf).at[p].set(
+                                vals[:, col])
+                            tot += jnp.sum(jnp.where(
+                                jnp.isfinite(out), out, 0.0))
+                    return tot
+
+                return jax.vmap(one)(means_d + f[:, :, :3] * 1e-20)
+        else:  # kl_payload — the candidate zero-gather rewrite's cost shape
+            def fn(f, s):
+                mp = means_d + f[:, :, :3] * 1e-20
+
+                def one(zyx_row, m, c, cnt):
+                    z, y, x = zyx_row[:, 0], zyx_row[:, 1], zyx_row[:, 2]
+                    idx = jnp.arange(K, dtype=jnp.int32)
+                    c6 = (c[:, 0, 0], c[:, 0, 1], c[:, 0, 2],
+                          c[:, 1, 1], c[:, 1, 2], c[:, 2, 2])
+                    payload = (idx, m[:, 0], m[:, 1], m[:, 2], *c6,
+                               cnt.astype(jnp.float32))
+                    tot = jnp.float32(0.0)
+                    for maj, mi in ((_pack_pair(z, x, lens_d[0]), y),
+                                    (_pack_pair(y, x, lens_d[0]), z)):
+                        cols = jax.lax.sort((maj, mi) + payload,
+                                            num_keys=2)
+                        ms = jnp.stack(cols[3:6], axis=1)
+                        cv = cols[6:12]
+                        cs = jnp.stack(
+                            [jnp.stack([cv[0], cv[1], cv[2]], -1),
+                             jnp.stack([cv[1], cv[3], cv[4]], -1),
+                             jnp.stack([cv[2], cv[4], cv[5]], -1)], -2)
+                        ka, _ = gaussian_kl(ms[:-1], cs[:-1],
+                                            ms[1:], cs[1:])
+                        kb, _ = gaussian_kl(ms[1:], cs[1:],
+                                            ms[:-1], cs[:-1])
+                        perm = cols[2]
+                        mn = jnp.concatenate([ka, jnp.zeros((1,))])
+                        mx = jnp.concatenate([jnp.zeros((1,)), kb])
+                        o1 = jnp.full((K,), jnp.inf).at[perm].set(mn)
+                        o2 = jnp.full((K,), -jnp.inf).at[perm].set(mx)
+                        tot += jnp.sum(jnp.where(jnp.isfinite(o1), o1, 0.0)
+                                       + jnp.where(jnp.isfinite(o2), o2,
+                                                   0.0))
+                    # the free +-x axis: shifted evals, no sort
+                    ka, _ = gaussian_kl(m[:-1], c[:-1], m[1:], c[1:])
+                    kb, _ = gaussian_kl(m[1:], c[1:], m[:-1], c[:-1])
+                    return (tot + jnp.sum(jnp.nan_to_num(ka))
+                            + jnp.sum(jnp.nan_to_num(kb)))
+
+                return jax.vmap(one)(zyx_d, mp, covs_d, counts_d)
     elif args.mode.startswith("sort"):
         n_ops = int(args.mode[4:])
         keys = jnp.asarray(
