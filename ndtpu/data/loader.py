@@ -95,16 +95,48 @@ class DeviceCachedDataset:
     13.4 MB point batch costs ~1.3 s against a ~12 ms train step; any
     dataset that fits HBM (64 canonical clouds ≈ 54 MB vs 16 GB) should
     live on device and be indexed there. On a real (PCIe-attached) host
-    the same structure still saves the per-step copy. Single-process
-    only — multi-host trainers keep the per-host strided loader."""
+    the same structure still saves the per-step copy.
 
-    def __init__(self, ds):
+    Multi-process (r5, VERDICT r4 item 7): pass the data-axis `sharding`
+    — each host materializes only its contiguous 1/P block of samples
+    and the global [n, ...] jax.Arrays are assembled row-sharded over the
+    mesh, so global row i == dataset index i and the epoch scan's batch
+    gathers (`a[idx]`) see the same global batch composition as the
+    strided per-step loader; XLA inserts the cross-host gathers inside
+    the one compiled epoch. Use with make_epoch_scan (the host-side
+    ``loader()`` stays single-process)."""
+
+    def __init__(self, ds, sharding=None):
         import jax
 
         n = len(ds)
+        nproc = jax.process_count()
+        if nproc > 1:
+            if sharding is None:
+                raise ValueError(
+                    "multi-process DeviceCachedDataset needs the data-axis "
+                    "sharding to assemble global arrays"
+                )
+            if n % nproc:
+                raise ValueError(
+                    f"dataset length {n} must divide by process count "
+                    f"{nproc} for block sharding"
+                )
+            from ndtpu.parallel.mesh import put_with_sharding
+
+            p = jax.process_index()
+            block = n // nproc
+            samples = [ds[i] for i in range(p * block, (p + 1) * block)]
+            self.arrays = put_with_sharding(
+                tuple(np.stack([s[k] for s in samples])
+                      for k in range(len(samples[0]))),
+                sharding,
+            )
+            return
         samples = [ds[i] for i in range(n)]
         self.arrays = tuple(
-            jax.device_put(np.stack([s[k] for s in samples]))
+            jax.device_put(np.stack([s[k] for s in samples]),
+                           *(() if sharding is None else (sharding,)))
             for k in range(len(samples[0]))
         )
 

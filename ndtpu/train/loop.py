@@ -220,9 +220,21 @@ def run_epoch_scan(epoch_fn, state, dataset, batch_size: int,
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     steps = n // batch_size
-    order = jnp.asarray(
-        order[:steps * batch_size].reshape(steps, batch_size).astype("int32")
-    )
+    order = order[:steps * batch_size].reshape(steps, batch_size).astype(
+        "int32")
+    if jax.process_count() > 1:
+        # multi-process: every host computed the same order (shared seed);
+        # assemble it as a replicated global array so the jitted epoch
+        # accepts it alongside the row-sharded dataset arrays
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ndtpu.parallel.mesh import put_with_sharding
+
+        mesh = dataset.arrays[0].sharding.mesh
+        order = put_with_sharding(order,
+                                  NamedSharding(mesh, PartitionSpec()))
+    else:
+        order = jnp.asarray(order)
     state, mean, last = epoch_fn(state, order, *dataset.arrays)
     # ONE host transfer for all metric scalars (each float() would pay a
     # full device round trip on the tunneled backend)

@@ -228,13 +228,19 @@ def main():
     )
 
     if cfg.device_cache:
-        if jax.process_count() > 1:
-            raise SystemExit("--device_cache is single-process only")
+        multiproc = jax.process_count() > 1
+        if multiproc and not cfg.epoch_scan:
+            # without the compiled epoch there is no jitted program to
+            # gather from the sharded global arrays
+            raise SystemExit(
+                "multi-process --device_cache requires --epoch_scan"
+            )
         from ndtpu.data.loader import DeviceCachedDataset
 
-        train_set = DeviceCachedDataset(train_set)
-        val_set = DeviceCachedDataset(val_set)
-        test_set = DeviceCachedDataset(test_set)
+        ds_sharding = sharding if multiproc else None
+        train_set = DeviceCachedDataset(train_set, ds_sharding)
+        val_set = DeviceCachedDataset(val_set, ds_sharding)
+        test_set = DeviceCachedDataset(test_set, ds_sharding)
 
         def make_loader(dataset, shuffle, seed=0):
             return dataset.loader(cfg.batch_size, shuffle=shuffle,
