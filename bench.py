@@ -636,7 +636,7 @@ def main():
                    help="force the Pallas segment-sum kernel (default: auto "
                         "— on when the first device is a TPU)")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
-    p.add_argument("--search", type=str, default="fast",
+    p.add_argument("--search", type=str, default="probe",
                    choices=["fast", "probe", "reference", "grid"],
                    help="'fast' hits the same [n, 1.2n] acceptance band in "
                         "~2-5 voxelizations; 'reference' follows the C "

@@ -91,6 +91,21 @@ def _inv_mode() -> str:
     return os.environ.get("NDTPU_KL_INV", "scatter")
 
 
+def _kl_mode() -> str:
+    # r5 decomposition (BASELINE.md): the KL stage is op-count-bound —
+    # its parts (2 K-row sorts ~0, 6 KL evals 0.08 ms, 18 gathers
+    # 0.01 ms, 6 scatter-sets 0.32 ms) sum to ~0.4 ms while the gather
+    # composition measures 1.49 ms: dozens of small sequential ops each
+    # pay fixed stage latency. "payload" carries the moments THROUGH the
+    # two re-sorts (13-operand sorts; payload columns are nearly free in
+    # a stage-bound sort) so adjacent-row KL needs zero segment gathers;
+    # bit-identical outputs (tests/test_kl.py), measured cost shape
+    # 0.42 ms (kernel_micro --mode kl_payload).
+    import os
+
+    return os.environ.get("NDTPU_KL_MODE", "payload")
+
+
 def _pack_pair(a, b, b_span):
     """Fuse (a, b) into a*b_span + b, preserving INT32_MAX padding. Exact
     whenever the two grid dims multiply below 2^31 — the same (generous)
@@ -134,6 +149,9 @@ def neighbor_min_kl(means, covs, counts, zyx, lens):
         return jnp.full((k,), jnp.inf), jnp.full((k,), -jnp.inf)
     z, y, x = zyx[:, 0], zyx[:, 1], zyx[:, 2]
     idx = jnp.arange(k, dtype=jnp.int32)
+    if _kl_mode() == "payload":
+        return _neighbor_min_kl_payload(means, covs, counts, z, y, x, idx,
+                                        lens)
 
     def axis_contrib(major, minor, perm):
         """Adjacent-row pairs in one sorted order.
@@ -185,6 +203,92 @@ def neighbor_min_kl(means, covs, counts, zyx, lens):
     # ±z: re-sort by (y, x, z)
     yx, zs, pz = jax.lax.sort((_pack_pair(y, x, lens[0]), z, idx), num_keys=3)
     mn_z, mx_z = axis_contrib(yx, zs, pz)
+
+    min_kl = jnp.minimum(jnp.minimum(mn_x, mn_y), mn_z)
+    max_kl = jnp.maximum(jnp.maximum(mx_x, mx_y), mx_z)
+    return min_kl, max_kl
+
+
+def _neighbor_min_kl_payload(means, covs, counts, z, y, x, idx, lens):
+    """Payload-mode neighbor KL: moments ride the two K-row re-sorts.
+
+    The r5 decomposition (kernel_micro kl_* modes, BASELINE.md) showed
+    the gather-mode stage is op-count-bound: ~30 small sequential ops
+    (sorts, 18 segment gathers, 6 evals, 6 scatter-sets) each pay fixed
+    stage latency, totalling ~1.5 ms while the parts sum to ~0.4. Here
+    each re-sort carries (idx, counts, mean xyz, the 6 unique covariance
+    entries) as payload — payload operands are nearly free in a
+    stage-bound sort (BASELINE.md sort table) — so the directional KLs
+    are shifted-adjacent elementwise evals with ZERO segment gathers,
+    and only ±y/±z need a scatter-set back to segment order (±x is
+    already in segment order; the identity scatter is dropped).
+
+    Bit-identical to the gather path (tests/test_kl.py): the sort keys
+    (major, minor) are unique for valid rows and the stable sort orders
+    INT32_MAX padding ties by input position — exactly the gather path's
+    explicit idx tie-break key; carrying cov as 6 columns is exact
+    because sum_outer's mirrored entries are bit-equal (IEEE a*b == b*a,
+    same accumulation order — ndtpu/core/moments.py).
+    """
+    inf = jnp.float32(jnp.inf)
+    c6 = (covs[:, 0, 0], covs[:, 0, 1], covs[:, 0, 2],
+          covs[:, 1, 1], covs[:, 1, 2], covs[:, 2, 2])
+    payload = (idx, counts, means[:, 0], means[:, 1], means[:, 2]) + c6
+
+    def pair_minmax(major, minor, m, c, cnt):
+        """Directional adjacent-row KLs in one sorted layout (the
+        axis_contrib semantics of the gather path, zero gathers)."""
+        adj = (
+            (major[:-1] == major[1:])
+            & (major[:-1] != _INT32_MAX)
+            & (minor[1:] == minor[:-1] + 1)
+        )
+        ok = adj & (cnt[:-1] > 1) & (cnt[1:] > 1)
+        kl_ab, def_ab = gaussian_kl(m[:-1], c[:-1], m[1:], c[1:])
+        kl_ba, def_ba = gaussian_kl(m[1:], c[1:], m[:-1], c[:-1])
+        ok_ab = ok & def_ab
+        ok_ba = ok & def_ba
+        mn = jnp.minimum(
+            jnp.concatenate([jnp.where(ok_ab, kl_ab, inf), inf[None]]),
+            jnp.concatenate([inf[None], jnp.where(ok_ba, kl_ba, inf)]),
+        )
+        mx = jnp.maximum(
+            jnp.concatenate([jnp.where(ok_ab, kl_ab, -inf), -inf[None]]),
+            jnp.concatenate([-inf[None], jnp.where(ok_ba, kl_ba, -inf)]),
+        )
+        return mn, mx
+
+    def unpack(cols):
+        perm, cnt = cols[0], cols[1]
+        m = jnp.stack(cols[2:5], axis=1)
+        cv = cols[5:11]
+        c = jnp.stack(
+            [jnp.stack([cv[0], cv[1], cv[2]], axis=-1),
+             jnp.stack([cv[1], cv[3], cv[4]], axis=-1),
+             jnp.stack([cv[2], cv[4], cv[5]], axis=-1)],
+            axis=-2,
+        )
+        return perm, cnt, m, c
+
+    # ±x: rows are already (z, y, x)-sorted segment order — no sort, and
+    # the gather path's identity scatter-set is value-identical to a no-op
+    mn_x, mx_x = pair_minmax(_pack_pair(z, y, lens[1]), x, means, covs,
+                             counts)
+
+    # ±y: re-sort by (z, x) major with y minor
+    cols = jax.lax.sort((_pack_pair(z, x, lens[0]), y) + payload,
+                        num_keys=2)
+    perm, cnt, m, c = unpack(cols[2:])
+    mn, mx = pair_minmax(cols[0], cols[1], m, c, cnt)
+    mn_y = jnp.full_like(mn, jnp.inf).at[perm].set(mn)
+    mx_y = jnp.full_like(mx, -jnp.inf).at[perm].set(mx)
+    # ±z: re-sort by (y, x) major with z minor
+    cols = jax.lax.sort((_pack_pair(y, x, lens[0]), z) + payload,
+                        num_keys=2)
+    perm, cnt, m, c = unpack(cols[2:])
+    mn, mx = pair_minmax(cols[0], cols[1], m, c, cnt)
+    mn_z = jnp.full_like(mn, jnp.inf).at[perm].set(mn)
+    mx_z = jnp.full_like(mx, -jnp.inf).at[perm].set(mx)
 
     min_kl = jnp.minimum(jnp.minimum(mn_x, mn_y), mn_z)
     max_kl = jnp.maximum(jnp.maximum(mx_x, mx_y), mx_z)

@@ -40,11 +40,13 @@ class TrainConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set bfloat16 for MXU-native compute
     use_pallas: str = "auto"        # auto|on|off: Pallas segment-sum kernel
-    # voxel-size search inside the jitted step: "fast" (secant-seeded fused
-    # search, ~2 sorts — the benched configuration; trajectory-equivalent
-    # acceptance band, tests/test_ndt.py) or "reference" (the C core's
-    # <=15-sort bisection, ndt.c:136-187) or "grid"
-    search: str = "fast"
+    # voxel-size search inside the jitted step: "probe" (the r5 default —
+    # the fused secant search cold-seeded by a Chao1 subsample probe,
+    # ~1 full payload sort per cold cloud; same acceptance band,
+    # tests/test_ndt.py), "fast" (exact-seed fused search, ~2 cold
+    # sorts — the r4 configuration), "reference" (the C core's <=15-sort
+    # bisection, ndt.c:136-187) or "grid"
+    search: str = "probe"
     # feed segmentation GT as [B, N] int32 class tags instead of the
     # reference's one-hot [B, N, C+1] (C+1x less host->device traffic;
     # bit-equivalent — argmax(one_hot(l)) == l, tests/test_golden.py).

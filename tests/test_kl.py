@@ -331,3 +331,45 @@ def test_prune_ranking_stable_with_planar_voxel():
     # the planar voxel's pair KLs are masked -> inf min_kl never wins prune
     state = a[4]
     assert bool(jnp.any(jnp.isinf(state.min_kl[state.counts > 0])))
+
+
+def test_kl_payload_mode_matches_gather_mode(monkeypatch):
+    """NDTPU_KL_MODE=payload (r5 default: moments ride the two K-row
+    re-sorts as payload; zero segment gathers) must agree BITWISE with
+    =gather (the r3/r4 composition) on every segment: the sort keys are
+    unique for valid rows, stable-sort padding ties reproduce the explicit
+    idx tie-break, and the mirrored covariance entries are bit-equal, so
+    the two modes evaluate identical f32 expressions."""
+    rng = np.random.default_rng(29)
+    big = np.iinfo(np.int32).max
+    lens_np = np.array([5, 4, 3], np.int64)
+    all_cells = np.array(
+        [
+            (z, y, x)
+            for z in range(lens_np[2])
+            for y in range(lens_np[1])
+            for x in range(lens_np[0])
+        ],
+        dtype=np.int32,
+    )
+    occ_zyx = all_cells[rng.random(len(all_cells)) < 0.55]
+    kk = len(occ_zyx)
+    k = kk + 3
+    zyx = np.full((k, 3), big, np.int32)
+    zyx[:kk] = occ_zyx
+    means = rng.normal(size=(k, 3)).astype(np.float32)
+    covs = np.stack([random_spd(rng) * 0.1 for _ in range(k)]).astype(
+        np.float32
+    )
+    # exercise the singularity mask too: one rank-deficient covariance
+    covs[2] = np.outer([1.0, 2.0, 0.5], [1.0, 2.0, 0.5]).astype(np.float32)
+    counts = np.zeros(k, np.int32)
+    counts[:kk] = rng.integers(1, 20, size=kk)  # include <=1-sample gating
+    args = (jnp.asarray(means), jnp.asarray(covs), jnp.asarray(counts),
+            jnp.asarray(zyx), jnp.asarray(lens_np, jnp.int32))
+    monkeypatch.setenv("NDTPU_KL_MODE", "payload")
+    mn_p, mx_p = neighbor_min_kl(*args)
+    monkeypatch.setenv("NDTPU_KL_MODE", "gather")
+    mn_g, mx_g = neighbor_min_kl(*args)
+    np.testing.assert_array_equal(np.asarray(mn_p), np.asarray(mn_g))
+    np.testing.assert_array_equal(np.asarray(mx_p), np.asarray(mx_g))

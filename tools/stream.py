@@ -78,7 +78,7 @@ def main():
     p.add_argument("--checkpoint", type=str, default=None,
                    help="tools/train.py segmentation checkpoint to run on "
                         "each frame's NDs")
-    p.add_argument("--search", type=str, default="fast",
+    p.add_argument("--search", type=str, default="probe",
                    choices=["fast", "probe", "reference", "grid"])
     p.add_argument("--mode", type=str, default="warm",
                    choices=["warm", "fixed"],
