@@ -470,15 +470,18 @@ def bench_giant(args):
     t0 = time.perf_counter()
     for _ in range(args.iters):
         float(prune_repeat(state, args.inner))
-    dt_prune = max(
-        (time.perf_counter() - t0) / args.iters / args.inner
-        - rtt / args.inner, 1e-9,
-    )
+    dt_prune = (time.perf_counter() - t0) / args.iters / args.inner \
+        - rtt / args.inner
+    # a prune reading at/below the RTT floor is noise, not a Hz figure
+    # (the ADVICE r4 below-floor rule; the r5 prune measured exactly this)
+    prune_below_floor = dt_prune <= 0
 
+    prune_txt = ("below measurement floor" if prune_below_floor else
+                 f"{dt_prune*1000:.3f} ms ({1.0/dt_prune:.1f} Hz)")
     print(
         f"[bench] giant cloud: {n_pts} pts -> {m} NDs in {dt*1000:.2f} ms "
         f"({1.0/dt:.2f} Hz, {n_pts/dt/1e6:.1f} Mpts/s); prune to {m//2}: "
-        f"{dt_prune*1000:.3f} ms ({1.0/dt_prune:.1f} Hz)",
+        f"{prune_txt}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -488,7 +491,9 @@ def bench_giant(args):
         "points": n_pts,
         "n_desired": m,
         "mpts_per_s": round(n_pts / dt / 1e6, 2),
-        "prune_hz": round(1.0 / dt_prune, 2),
+        "prune_hz": (None if prune_below_floor
+                     else round(1.0 / dt_prune, 2)),
+        "prune_below_floor": prune_below_floor,
         "vs_baseline": None,
     }))
 
