@@ -17,6 +17,12 @@ stamp() { echo "=== $1 $(date -u) ===" | tee -a "$LOG"; }
 OUT=/tmp/tpu_train_r5
 rm -rf "$OUT"
 
+stamp "canonical bench, probe search + payload KL (A/B vs the 6.47 ms gather-KL row)"
+python bench.py --skip_cpu_baseline >> "$LOG" 2>&1
+
+stamp "training-step bench, probe search + payload KL (searched, int GT)"
+python bench.py --train --skip_cpu_baseline >> "$LOG" 2>&1
+
 stamp "canonical 130-epoch session, part 1: epochs 1-60"
 python tools/train.py --epochs 60 --synthetic_length 64 \
     --n_desired_nds 1000 --device_cache --save_every 2 \
