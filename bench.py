@@ -425,7 +425,8 @@ def bench_giant(args):
         .astype(np.float32)
     )
     mesh = make_mesh(("points",), devices=np.asarray(jax.devices()[:1]))
-    fn = make_point_sharded_downsample(mesh, m, use_pallas=args.use_pallas)
+    fn = make_point_sharded_downsample(mesh, m, use_pallas=args.use_pallas,
+                                       search=args.search)
     pts_d = jnp.asarray(pts)
     mask = jnp.ones((n_pts,), bool)
     classes = jnp.zeros((n_pts,), jnp.int32)

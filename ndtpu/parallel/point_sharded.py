@@ -287,7 +287,8 @@ def sharded_count_occupied(mesh: Mesh, points, mask, voxel_size, lens,
 def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
                                   num_class_slots: int = 1,
                                   axis: str = "points",
-                                  use_pallas: bool = False):
+                                  use_pallas: bool = False,
+                                  search: str = "reference"):
     """Full NDT downsample for a single giant cloud sharded over the point
     axis — the complete sequence-parallel-analogue pipeline (SURVEY.md §5):
     voxel-size binary search with collective occupied counts, point-sharded
@@ -296,6 +297,19 @@ def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
     Returns a jitted fn(points [N,3], mask [N], classes [N]) ->
     (pcl [n_desired,3], covs [n_desired,9], labels, out_mask, NDTResult),
     matching ndt_downsample's contract. N must divide by the mesh size.
+
+    search: "reference" follows the C bisection trajectory (the default —
+    bit-matches single-device ndt_downsample's reference search,
+    tests/test_sharding.py); "fast"/"probe" reuses the core secant search
+    (_search_voxel_size_fast) with the sharded collective count — same
+    acceptance band, typically 1-2 collective counts instead of the blind
+    midpoint bisection's ~5+ (the r5 sizing check measured the
+    geometric-mean seed already IN BAND on the 1M-point giant bench
+    cloud; each saved evaluation is a full shard-local sort + table
+    merge). "probe" is accepted as an alias so bench/CLI search flags
+    pass through; the subsample estimator itself is not used here — at
+    giant-cloud occupancies (hundreds of points per voxel) the seed
+    count is exact and the estimator's bias can only hurt.
     """
     from ndtpu.core import ndt as nd
     from ndtpu.core.kl import neighbor_min_kl
@@ -303,7 +317,23 @@ def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
 
     k_max = nd.max_segments(n_desired)
 
-    def search(points, mask, mins, maxs):
+    def search_fast(points, mask, mins, maxs):
+        # reuse the core secant trajectory with the collective count —
+        # trajectory-identical to the single-device fast search by
+        # construction (same state machine, same exact counts)
+        def count_fn(px, py, pz, msk, guess, mins_, maxs_):
+            lens, offsets = vx.estimate_voxel_grid(mins_, maxs_, guess)
+            return sharded_count_occupied(
+                mesh, points, msk, guess, lens, offsets, k_max, axis,
+                use_pallas,
+            )
+
+        return nd._search_voxel_size_fast(
+            points[:, 0], points[:, 1], points[:, 2], mask, n_desired,
+            mins, maxs, count_fn=count_fn,
+        )
+
+    def search_bisect(points, mask, mins, maxs):
         upper = n_desired * (1.0 + nd.DOWNSAMPLE_UPPER_THRESHOLD)
         init = (
             jnp.array(False),
@@ -353,7 +383,9 @@ def make_point_sharded_downsample(mesh: Mesh, n_desired: int,
         points = points.astype(jnp.float32)
 
         mins, maxs = vx.pointcloud_limits(points, mask)  # global-view reduce
-        voxel_size, converged = search(points, mask, mins, maxs)
+        search_impl = (search_fast if search in ("fast", "probe")
+                       else search_bisect)
+        voxel_size, converged = search_impl(points, mask, mins, maxs)
         # the packed-key moment pass needs the accepted size inside the
         # int32 grid envelope; if the clamp binds (dense cluster plus a
         # km-scale outlier) the grid is coarsened, so converged must flip

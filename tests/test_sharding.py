@@ -199,3 +199,35 @@ def test_point_sharded_outlier_cloud_reports_unconverged():
     pcl, covs, labels, mask, state = fn(jnp.asarray(pts))
     assert not bool(state.converged)
     assert int(mask.sum()) < 64  # honest coarse output, flagged
+
+
+def test_point_sharded_fast_search_matches_core_fast():
+    """search="fast" on the point-sharded pipeline reuses the core secant
+    state machine with the collective count — on a cloud where no packing
+    envelope binds it must accept exactly the single-device fast search's
+    voxel size and land in band (the r5 giant-pipeline search upgrade:
+    1-2 collective counts instead of the blind midpoint bisection's ~5+).
+    """
+    from ndtpu.parallel.point_sharded import make_point_sharded_downsample
+
+    rng = np.random.default_rng(9)
+    centers = rng.uniform(-6, 6, size=(40, 3))
+    pts = (
+        (centers[:, None, :] + rng.normal(scale=0.3, size=(40, 26, 3)))
+        .reshape(-1, 3)[:1024]
+        .astype(np.float32)
+    )
+    n_desired = 24
+
+    mesh = make_mesh(("points",))
+    fn = make_point_sharded_downsample(mesh, n_desired, search="fast")
+    pcl_sh, covs_sh, labels_sh, mask_sh, state_sh = fn(jnp.asarray(pts))
+
+    _, _, _, mask_1, state_1 = ndt_downsample(
+        jnp.asarray(pts), n_desired, search="fast"
+    )
+    assert bool(state_sh.converged)
+    assert int(mask_sh.sum()) == n_desired
+    assert float(jnp.abs(state_sh.voxel_size - state_1.voxel_size)) < 1e-6
+    band_lo, band_hi = n_desired, int(n_desired * 1.2)
+    assert band_lo <= int(state_sh.num_valid) <= band_hi
