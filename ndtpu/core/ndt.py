@@ -884,18 +884,38 @@ def _emit(state: NDTResult, n_out: int, prune_order: str = "ascending"):
 
     # sort 2: stable compaction in ascending voxel-index order, replacing
     # to_point_cloud's sequential append (ndt.c:75-117); keys are unique
-    # ints so one sort yields both the gather perm and the out mask
-    comp_key = jnp.where(kept_s, seg_by_kl, k + seg_by_kl)
-    _, perm, kept_c = jax.lax.sort(
-        (comp_key, seg_by_kl, kept_s.astype(jnp.int32)), num_keys=1
+    # ints. The emitted rows RIDE the sort as payload (r5 op-count lens,
+    # see kl._kl_mode): means, the 6 unique covariance entries (mirrors
+    # are bit-equal — IEEE a*b == b*a with identical accumulation order,
+    # core/moments.py), and the label argmax done ONCE per segment before
+    # the sort — so no output gathers remain. The KL-sorted seg ids are
+    # gathered pre-sort ([K]-sized, one op) to build the payload in
+    # kl-rank order... instead we sort in SEGMENT order directly: kept_s
+    # lives in kl-rank space, so scatter it back to segment space first
+    # (one scatter-set), then a single payload sort over segment rows
+    # yields the compacted outputs.
+    kept_seg = jnp.zeros((k,), bool).at[seg_by_kl].set(kept_s)
+    comp_key = jnp.where(kept_seg, ar, k + ar)
+    m = state.means
+    c = state.covs
+    labels_all = jnp.argmax(state.class_hist, axis=1).astype(jnp.int32)
+    cols = jax.lax.sort(
+        (comp_key, kept_seg.astype(jnp.int32),
+         m[:, 0], m[:, 1], m[:, 2],
+         c[:, 0, 0], c[:, 0, 1], c[:, 0, 2],
+         c[:, 1, 1], c[:, 1, 2], c[:, 2, 2],
+         labels_all),
+        num_keys=1,
     )
-    perm = perm[:n_out]
-    out_mask = kept_c[:n_out] > 0
-    pcl = jnp.where(out_mask[:, None], state.means[perm], 0.0)
-    covs = jnp.where(out_mask[:, None], state.covs[perm].reshape(n_out, 9), 0.0)
-    labels = jnp.where(
-        out_mask, jnp.argmax(state.class_hist[perm], axis=1).astype(jnp.int32), 0
+    out_mask = cols[1][:n_out] > 0
+    m0, m1, m2 = (col[:n_out] for col in cols[2:5])
+    c0, c1, c2, c3, c4, c5 = (col[:n_out] for col in cols[5:11])
+    pcl = jnp.where(out_mask[:, None], jnp.stack([m0, m1, m2], axis=1), 0.0)
+    covs = jnp.where(
+        out_mask[:, None],
+        jnp.stack([c0, c1, c2, c1, c3, c4, c2, c4, c5], axis=1), 0.0,
     )
+    labels = jnp.where(out_mask, cols[11][:n_out], 0)
     return pcl, covs, labels, out_mask
 
 
