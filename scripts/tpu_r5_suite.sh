@@ -39,4 +39,7 @@ python bench.py --stress --skip_cpu_baseline >> "$LOG" 2>&1
 stamp "stage split (tagged path, fast-search protocol — r3/r4 comparable)"
 python scripts/stage_timing.py --use_pallas >> "$LOG" 2>&1
 
+stamp "component split (search / preprocess / model)"
+python bench.py --components --skip_cpu_baseline >> "$LOG" 2>&1
+
 stamp "ALL DONE (r5 final)"
