@@ -134,7 +134,8 @@ def make_cls_dataset(cfg, split, seed):
                 f">= {ds.n_classes}"
             )
         return _OneHotCls(ds, cfg.n_classes)
-    ds = SyntheticCls(n_points=cfg.n_samples, length=32, seed=seed)
+    ds = SyntheticCls(n_points=cfg.n_samples, length=cfg.synthetic_length,
+                      seed=seed)
     return _OneHotCls(ds, cfg.n_classes)
 
 
