@@ -32,13 +32,14 @@ def test_config_default_overrides_stay_cli_overridable():
 
 
 def test_config_search_field():
-    """The trainers default to the fast fused search (the benched
-    configuration — VERDICT r2 missing #1) and reject unknown modes."""
+    """The trainers default to the probe-seeded fused search (the r5
+    benched configuration) and reject unknown modes."""
     import pytest
 
-    assert TrainConfig.from_args([]).search == "fast"
+    assert TrainConfig.from_args([]).search == "probe"
+    assert TrainConfig.from_args(["--search", "fast"]).search == "fast"
     assert TrainConfig.from_args(["--search", "reference"]).search == "reference"
-    with pytest.raises(ValueError, match="fast|reference|grid"):
+    with pytest.raises(ValueError, match="fast|probe|reference|grid"):
         TrainConfig.from_args(["--search", "bogus"])
 
 
