@@ -884,16 +884,32 @@ def _emit(state: NDTResult, n_out: int, prune_order: str = "ascending"):
 
     # sort 2: stable compaction in ascending voxel-index order, replacing
     # to_point_cloud's sequential append (ndt.c:75-117); keys are unique
-    # ints. The emitted rows RIDE the sort as payload (r5 op-count lens,
-    # see kl._kl_mode): means, the 6 unique covariance entries (mirrors
-    # are bit-equal — IEEE a*b == b*a with identical accumulation order,
-    # core/moments.py), and the label argmax done ONCE per segment before
-    # the sort — so no output gathers remain. The KL-sorted seg ids are
-    # gathered pre-sort ([K]-sized, one op) to build the payload in
-    # kl-rank order... instead we sort in SEGMENT order directly: kept_s
-    # lives in kl-rank space, so scatter it back to segment space first
-    # (one scatter-set), then a single payload sort over segment rows
-    # yields the compacted outputs.
+    # ints. Default ("payload"): the emitted rows RIDE the sort as payload
+    # (r5 op-count lens, see kl._kl_mode) — means, the 6 unique covariance
+    # entries (mirrors are bit-equal: IEEE a*b == b*a with identical
+    # accumulation order, core/moments.py), and the label argmax done ONCE
+    # per segment before the sort — so no output gathers remain; kept_s
+    # lives in kl-rank space and is scattered back to segment space first
+    # (one set), letting the compaction sort run directly in segment
+    # order. NDTPU_EMIT=gather restores the r4 3-operand sort + perm
+    # gathers (bit-identical; kept for A/B).
+    import os as _os
+    if _os.environ.get("NDTPU_EMIT", "payload") == "gather":
+        comp_key = jnp.where(kept_s, seg_by_kl, k + seg_by_kl)
+        _, perm, kept_c = jax.lax.sort(
+            (comp_key, seg_by_kl, kept_s.astype(jnp.int32)), num_keys=1
+        )
+        perm = perm[:n_out]
+        out_mask = kept_c[:n_out] > 0
+        pcl = jnp.where(out_mask[:, None], state.means[perm], 0.0)
+        covs = jnp.where(
+            out_mask[:, None], state.covs[perm].reshape(n_out, 9), 0.0
+        )
+        labels = jnp.where(
+            out_mask,
+            jnp.argmax(state.class_hist[perm], axis=1).astype(jnp.int32), 0,
+        )
+        return pcl, covs, labels, out_mask
     kept_seg = jnp.zeros((k,), bool).at[seg_by_kl].set(kept_s)
     comp_key = jnp.where(kept_seg, ar, k + ar)
     m = state.means
