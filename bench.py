@@ -187,7 +187,9 @@ def bench_components(args):
             px, py, pz = p[:, 0], p[:, 1], p[:, 2]
             # mirror the production paths' envelope clamps and count
             # functions (ndt_downsample), so the timed program matches
-            if args.search == "fast":
+            if args.search in ("fast", "probe"):
+                # the unfused secant twin (probe's seeding lives in the
+                # fused path; the full-preprocess component carries it)
                 vs, _ = nd._search_voxel_size_fast(
                     px, py, pz, m, M, mins, maxs,
                     lo_min=nd._min_packable_voxel_size(mins, maxs),
