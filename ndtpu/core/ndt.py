@@ -884,17 +884,17 @@ def _emit(state: NDTResult, n_out: int, prune_order: str = "ascending"):
 
     # sort 2: stable compaction in ascending voxel-index order, replacing
     # to_point_cloud's sequential append (ndt.c:75-117); keys are unique
-    # ints. Default ("payload"): the emitted rows RIDE the sort as payload
-    # (r5 op-count lens, see kl._kl_mode) — means, the 6 unique covariance
-    # entries (mirrors are bit-equal: IEEE a*b == b*a with identical
-    # accumulation order, core/moments.py), and the label argmax done ONCE
-    # per segment before the sort — so no output gathers remain; kept_s
-    # lives in kl-rank space and is scattered back to segment space first
-    # (one set), letting the compaction sort run directly in segment
-    # order. NDTPU_EMIT=gather restores the r4 3-operand sort + perm
-    # gathers (bit-identical; kept for A/B).
+    # ints so one 3-operand sort yields both the gather perm and the out
+    # mask. An r5 payload-mode variant (NDTPU_EMIT=payload: outputs ride
+    # the compaction sort as 10 payload columns, zero output gathers —
+    # the rewrite that cracked the KL stage) measured a TIE here
+    # (canonical A/B 4.90 gather vs 4.98 payload ms, tpu_r5_emit_ab.log):
+    # unlike KL's ~30-op composition, emit has only 3 gathers + 1 argmax
+    # to delete, and the wider sort buys them back. Bit-identical either
+    # way (goldens + the modes-agree check); the r4-proven gather path
+    # stays default per the honest-tie rule (cf. the r4 KL-fusion revert).
     import os as _os
-    if _os.environ.get("NDTPU_EMIT", "payload") == "gather":
+    if _os.environ.get("NDTPU_EMIT", "gather") == "gather":
         comp_key = jnp.where(kept_s, seg_by_kl, k + seg_by_kl)
         _, perm, kept_c = jax.lax.sort(
             (comp_key, seg_by_kl, kept_s.astype(jnp.int32)), num_keys=1
